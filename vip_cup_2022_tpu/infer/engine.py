@@ -1,0 +1,258 @@
+"""CSV-in / CSV-out ensemble inference engine.
+
+This is the TPU-native rebuild of ``predict_soln`` + the ``__main__`` driver
+(reference main.py:58-235). Contract surface preserved exactly:
+
+- ckpts.json manifest of ``[base_dir, [H, W], idx]`` entries, checkpoint files
+  resolved under ``<model_dir>/<base_dir>/ckpt/`` (main.py:186-197)
+- per-model batch size ``8 * NAME2BS.get(name, 16)`` (main.py:43-56, :85)
+- TTA disabled at tta=1; with tta>1 the augment of dataset/augment.py applies
+- multiclass -> binary via ``1 - p[:, 0]`` (main.py:113-114)
+- ``agg`` (mean) over TTA then folds then models (main.py:111, :121, :142-143)
+- ensemble binarized at ``logit > thr (0.487)``, CSV columns filename,logit
+  (main.py:144-145)
+- debug mode truncates to 100 paths (main.py:83-84)
+
+TPU-native differences (SURVEY.md §7 throughput notes):
+- images are decoded ONCE and shared across all ensemble members (the
+  reference rebuilds the tf.data pipeline per model)
+- everything after the uint8 H2D copy — cast, resize-to-model-dim (two MXU
+  matmuls), TTA augment, normalize, forward — is one jitted XLA program
+- batches are sharded over the mesh 'data' axis; fold/TTA reductions happen
+  on device
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from glob import glob
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..data.augment import apply_augment
+from ..data.decode import ImageDecoder
+from ..data.pipeline import _host_resize_uint8
+from ..models import create_model
+from ..models.factory import load_weights, transfer_weights
+from ..ops.resize import resize
+from ..parallel.mesh import batch_sharding, get_mesh, num_replicas, pad_to_multiple
+
+# Per-model batch-size table (reference main.py:43-56). Effective batch is
+# 8 * NAME2BS.get(name, 16).
+NAME2BS: Dict[str, int] = {
+    "convnext_large_384_in22ft1k-200x200": 16,
+    "convnext_large_in22ft1k-200x200": 16,
+    "convnext_base_384_in22ft1k-200x200": 32,
+    "HorNetBase-200x200": 32,
+    "EfficientNetV2M-200x200": 64,
+    "convnext_base_in22k-200x200": 32,
+    "ECA_NFNetL2-200x200": 32,
+    "GCViTBase-224x224": 48,
+    "ResNest200-200x200": 64,
+    "EfficientNetV2L-200x200": 32,
+    "ResNetRS200-200x200": 32,
+    "ResNet200D-200x200": 32,
+}
+
+NATIVE_SIZE = (200, 200)  # competition eval input spec (README.md:69)
+
+
+def load_manifest(model_dir: str, manifest_path: str, allow_missing: bool = False):
+    """Resolve the ckpts.json manifest (reference main.py:186-197 semantics,
+    extended to accept native .msgpack checkpoints next to .h5)."""
+    entries = []
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    for base_dir, dim, idx in manifest:
+        ckpt_dir = os.path.join(model_dir, base_dir, "ckpt")
+        paths = sorted(glob(os.path.join(ckpt_dir, "*.msgpack"))) or sorted(
+            glob(os.path.join(ckpt_dir, "*.h5"))
+        )
+        if not paths:
+            sm = os.path.join(ckpt_dir, "saved_model.pb")
+            if os.path.isfile(sm):
+                paths = [sm]
+        if not paths:
+            if allow_missing:
+                paths = []
+            else:
+                raise ValueError(f"no model found for : {base_dir}")
+        entries.append((base_dir, paths, tuple(dim), idx))
+    return entries
+
+
+def registry_name(model_dir_name: str) -> str:
+    """'ResNetRS50-200x200' -> 'ResNetRS50' (manifest dir naming convention)."""
+    return model_dir_name.rsplit("-", 1)[0]
+
+
+class EnsembleEngine:
+    def __init__(
+        self,
+        mesh=None,
+        compute_dtype=None,
+        num_decode_threads: int = 16,
+        verbose: int = 1,
+    ):
+        self.mesh = mesh if mesh is not None else get_mesh()
+        if compute_dtype is None:
+            # bf16 on TPU (MXU-native); f32 elsewhere (CPU tests / parity)
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            )
+        self.compute_dtype = compute_dtype
+        self.verbose = verbose
+        self._decoder = ImageDecoder(num_threads=num_decode_threads)
+        self._decoded: Optional[List[np.ndarray]] = None  # shared across models
+
+    # ------------------------------------------------------------------
+    # data
+    # ------------------------------------------------------------------
+    def _decode_all(self, paths: Sequence[str]) -> List[np.ndarray]:
+        """Decode every image once at NATIVE_SIZE (shared across the whole
+        ensemble — the big structural win over the reference's per-model
+        tf.data rebuild)."""
+        if self._decoded is None:
+            imgs = self._decoder.decode_batch(paths)
+            self._decoded = [_host_resize_uint8(im, NATIVE_SIZE) for im in imgs]
+        return self._decoded
+
+    def reset_cache(self):
+        self._decoded = None
+
+    # ------------------------------------------------------------------
+    # per-model forward program
+    # ------------------------------------------------------------------
+    def _build_forward(self, module, dim: Tuple[int, int], tta: int):
+        compute_dtype = self.compute_dtype
+
+        def forward(variables, u8, rng):
+            x = u8.astype(jnp.float32) / 255.0  # dataset.py:31-37
+            if tuple(dim) != NATIVE_SIZE:
+                x = resize(x, dim, method="bicubic")  # dataset.py:33-34
+            x = x.astype(compute_dtype)
+            if tta > 1:
+                def one(key):
+                    return module.apply(variables, apply_augment(key, x))
+                preds = jax.lax.map(one, jax.random.split(rng, tta))
+                return jnp.mean(preds.astype(jnp.float32), axis=0)
+            return module.apply(variables, x).astype(jnp.float32)
+
+        return jax.jit(forward, in_shardings=(None, batch_sharding(self.mesh), None))
+
+    # ------------------------------------------------------------------
+    # prediction
+    # ------------------------------------------------------------------
+    def predict_model(
+        self,
+        model_dir_name: str,
+        ckpt_paths: Sequence[str],
+        dim: Tuple[int, int],
+        paths: Sequence[str],
+        tta: int = 1,
+        agg: str = "mean",
+        batch_size: Optional[int] = None,
+        seed: int = 42,
+    ) -> np.ndarray:
+        """Predict one ensemble member over all folds. Returns (N, 1) probs."""
+        name = registry_name(model_dir_name)
+        if batch_size is None:
+            batch_size = 8 * NAME2BS.get(model_dir_name, 16)  # main.py:85
+        max_batch = int(os.environ.get("VIPTPU_MAX_BATCH", "0"))
+        if max_batch:
+            batch_size = min(batch_size, max_batch)
+        batch_size = pad_to_multiple(batch_size, num_replicas(self.mesh))
+
+        # sidecar config.json next to the checkpoints carries head/config
+        # overrides recorded at conversion time (nb_classes, activation, ...)
+        overrides: Dict = {}
+        if ckpt_paths:
+            cfg_json = os.path.join(os.path.dirname(ckpt_paths[0]), "config.json")
+            if os.path.isfile(cfg_json):
+                with open(cfg_json) as fh:
+                    overrides = json.load(fh)
+                overrides.pop("input_size", None)
+        module, variables, cfg = create_model(
+            name, input_size=tuple(dim), dtype=self.compute_dtype, **overrides
+        )
+        fwd = self._build_forward(module, dim, tta)
+        imgs = self._decode_all(paths)
+        n = len(imgs)
+
+        fold_preds = []
+        rng = jax.random.PRNGKey(seed)
+        for fold_idx, ckpt in enumerate(sorted(ckpt_paths) if ckpt_paths else [None]):
+            if ckpt is not None:
+                loaded = load_weights(ckpt, name)
+                variables = transfer_weights(loaded, variables)
+            chunks = []
+            for start in range(0, n, batch_size):
+                chunk = imgs[start : start + batch_size]
+                batch = np.zeros((batch_size, *NATIVE_SIZE, 3), np.uint8)
+                batch[: len(chunk)] = np.stack(chunk)
+                rng, sub = jax.random.split(rng)
+                out = fwd(variables, batch, sub)
+                chunks.append(np.asarray(out[: len(chunk)]))
+            pred = np.concatenate(chunks, axis=0)
+            if pred.ndim == 1:
+                pred = pred[:, None]
+            if pred.shape[1] > 1:  # multiclass -> binary (main.py:113-114)
+                pred = 1.0 - pred[:, 0:1]
+            fold_preds.append(pred)
+        return getattr(np, agg)(fold_preds, axis=0)
+
+    def predict_soln(self, cfg, ensemble: bool = True):
+        """Reference-contract driver (main.py:58-149). ``cfg`` is the untyped
+        Config bag with the same fields main.py populates."""
+        if cfg.verbose == 1:
+            print("=" * 35)
+            print("### INFERENCE ###")
+            print("=" * 35)
+
+        test_csv = pd.read_csv(cfg.test_csv)
+        test_names = test_csv.filename.values
+        test_paths = [os.path.join(cfg.infer_path, n) for n in test_names]
+        if cfg.debug:
+            test_paths = test_paths[:100]
+            test_names = test_names[:100]
+
+        pred_dfs = []
+        for model_idx, (base_dir, ckpt_paths, dim, idx) in enumerate(cfg.ckpt_cfg):
+            if cfg.verbose:
+                print(
+                    f"> MODEL({model_idx + 1}/{len(cfg.ckpt_cfg)}): {base_dir} | DIM: {list(dim)}"
+                )
+            t0 = time.time()
+            preds = self.predict_model(
+                base_dir,
+                ckpt_paths,
+                dim,
+                test_paths,
+                tta=cfg.tta,
+                agg=cfg.agg,
+                seed=cfg.seed,
+            )
+            if cfg.verbose:
+                dt = time.time() - t0
+                print(f"  {len(test_paths)} imgs in {dt:.2f}s ({len(test_paths) * max(cfg.tta,1) / max(dt, 1e-9):.1f} img/s)")
+            pred_df = pd.DataFrame(
+                {"filename": np.array(test_names), "logit": preds[:, 0].astype(np.float64)}
+            )
+            pred_df = test_csv.merge(pred_df, on=["filename"], how="right").reset_index(drop=True)
+            pred_dfs.append(pred_df)
+
+        if ensemble:
+            dfs = pd.concat(pred_dfs)
+            out_df = dfs.groupby("filename")[["logit"]].mean().reset_index()
+            out_df["logit"] = (out_df.logit > cfg.thr) * 1.0  # main.py:144
+            out_df.to_csv(cfg.output_csv_path, index=False)
+            if cfg.verbose:
+                print("\n> FINAL PREDICTION SAVED TO ", cfg.output_csv_path)
+                print(out_df.head(2))
+            return out_df
+        return pred_dfs

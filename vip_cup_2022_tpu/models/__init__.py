@@ -1,0 +1,16 @@
+"""Model zoo: importing this package registers every family (the reference's
+``main.py:28-37`` imports all four zoos for layer registration; here one
+registry serves the same role)."""
+
+from . import gcvit  # noqa: F401
+from . import resnet_rs  # noqa: F401
+from .base import ModelConfig  # noqa: F401
+from .factory import create_model, create_preprocessing, transfer_weights  # noqa: F401
+from .registry import (  # noqa: F401
+    is_model,
+    list_models,
+    model_class,
+    model_config,
+    model_entry,
+    register_model,
+)

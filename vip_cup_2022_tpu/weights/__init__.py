@@ -1,0 +1,8 @@
+"""Weight converters: Keras-h5 / timm-torch -> JAX variable pytrees.
+
+Parity surface: tfimm transfer rules (models/factory.py:163-269,
+utils/timm.py:39-100) and kecam ``download_and_load.py`` torch state-dict
+alignment. Our converters map *names*, never execute foreign graphs.
+"""
+
+from .keras_h5 import convert_keras_h5, read_keras_h5, register_weight_mapper  # noqa: F401
