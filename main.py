@@ -30,6 +30,12 @@ def main(argv):
     input_csv_path = argv[1]
     output_csv_path = argv[2]
 
+    platform = os.environ.get("VIPTPU_PLATFORM", "")
+    if platform:  # the axon plugin ignores JAX_PLATFORMS; use the config knob
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     from vip_cup_2022_tpu.core.config import Config
     from vip_cup_2022_tpu.data.pipeline import seeding
     from vip_cup_2022_tpu.infer.engine import EnsembleEngine, load_manifest

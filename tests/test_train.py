@@ -1,0 +1,162 @@
+"""Training stack: losses vs torch oracles, schedules vs keras semantics,
+mixup/cutmix invariants, SAM, and a tiny end-to-end Trainer run with
+checkpoint/resume."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vip_cup_2022_tpu.train import (
+    CosineLrScheduler,
+    TrainConfig,
+    Trainer,
+    binary_cross_entropy_timm,
+    categorical_cross_entropy,
+    cutmix,
+    distill_kl_divergence,
+    mixup,
+    sam_gradient,
+)
+
+
+def test_bce_timm_matches_torch_bce():
+    torch = pytest.importorskip("torch")
+    y_true = (np.random.uniform(size=(8, 10)) > 0.7).astype(np.float32)
+    y_pred = np.random.randn(8, 10).astype(np.float32)
+    ours = float(jnp.mean(binary_cross_entropy_timm(jnp.asarray(y_true), jnp.asarray(y_pred))))
+    theirs = float(
+        torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.from_numpy(y_pred), torch.from_numpy(y_true)
+        )
+    )
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_bce_timm_target_threshold():
+    # soft labels above threshold become hard positives (timm semantics)
+    y_true = jnp.asarray([[0.3, 0.1, 0.9]])
+    y_pred = jnp.zeros((1, 3))
+    a = binary_cross_entropy_timm(y_true, y_pred, target_threshold=0.2)
+    b = binary_cross_entropy_timm(jnp.asarray([[1.0, 0.0, 1.0]]), y_pred)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_distill_kl_nonnegative_and_zero_at_equal():
+    t = jnp.asarray(np.random.randn(4, 10).astype(np.float32))
+    z = distill_kl_divergence(t, t)
+    np.testing.assert_allclose(np.asarray(z), 0.0, atol=1e-6)
+    s = jnp.asarray(np.random.randn(4, 10).astype(np.float32))
+    assert np.all(np.asarray(distill_kl_divergence(t, s)) >= -1e-6)
+
+
+def test_cosine_schedule_matches_keras():
+    tf = pytest.importorskip("tensorflow")
+    lr_base, first_restart, spe = 0.01, 4, 10
+    sched = CosineLrScheduler(lr_base, first_restart, steps_per_epoch=spe, lr_min=1e-5)
+    ref = tf.keras.optimizers.schedules.CosineDecayRestarts(
+        lr_base, first_restart * spe, t_mul=2.0, m_mul=0.5, alpha=1e-5 / lr_base
+    )
+    for step in [0, 5, 17, 39, 80]:
+        ours = sched(step)
+        theirs = float(ref(step))
+        # warmup region differs by design (warmup_steps=0 here -> none)
+        assert abs(ours - theirs) < 1e-6, (step, ours, theirs)
+
+
+def test_mixup_label_weights_match_image_weights():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.uniform(size=(8, 16, 16, 3)).astype(np.float32))
+    y = jax.nn.one_hot(jnp.arange(8) % 3, 3)
+    xm, ym = mixup(rng, x, y, alpha=0.4)
+    assert xm.shape == x.shape and ym.shape == y.shape
+    np.testing.assert_allclose(np.asarray(ym.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_cutmix_box_and_weights():
+    rng = jax.random.PRNGKey(3)
+    x = jnp.asarray(np.random.uniform(size=(8, 32, 32, 3)).astype(np.float32))
+    y = jax.nn.one_hot(jnp.arange(8) % 4, 4)
+    xm, ym = cutmix(rng, x, y, alpha=0.5)
+    assert xm.shape == x.shape
+    np.testing.assert_allclose(np.asarray(ym.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_sam_gradient_differs_from_plain():
+    def loss_fn(p):
+        return jnp.sum(jnp.sin(p["w"])), None
+
+    params = {"w": jnp.asarray([0.5, 1.0, -2.0])}
+    (_, _), g_sam = sam_gradient(lambda p: loss_fn(p), params, rho=0.5, has_aux=True)
+    g_plain = jax.grad(lambda p: loss_fn(p)[0])(params)
+    assert not np.allclose(np.asarray(g_sam["w"]), np.asarray(g_plain["w"]))
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    """Micro CNN with BN (exercises batch_stats plumbing) — keeps the e2e
+    trainer test fast on the 1-core CI host."""
+    import flax.linen as nn
+
+    from vip_cup_2022_tpu.ops import BatchNorm
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, training: bool = False):
+            x = nn.Conv(8, (3, 3), strides=(2, 2))(x)
+            x = BatchNorm(name="bn")(x, training=training)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            x = nn.Dropout(0.1, deterministic=not training)(x)
+            return nn.Dense(3)(x)
+
+    module = Tiny()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    return module, variables, None
+
+
+def test_trainer_end_to_end_and_resume(tiny_model, tmp_path):
+    module, variables, _ = tiny_model
+    rng = np.random.RandomState(0)
+
+    def data_iter():
+        for _ in range(2):
+            x = rng.uniform(size=(8, 32, 32, 3)).astype(np.float32)
+            y = np.eye(3, dtype=np.float32)[rng.randint(0, 3, size=8)]
+            yield x, y
+
+    cfg = TrainConfig(
+        epochs=2, steps_per_epoch=2, lr_base=1e-3, optimizer="adamw",
+        loss="categorical", ckpt_dir=str(tmp_path), basic_save_name="tiny",
+        monitor="loss",
+    )
+    tr = Trainer(module, variables, cfg)
+    hist = tr.fit(data_iter, val_iter_fn=data_iter)
+    assert len(hist["loss"]) == 2
+    assert all(np.isfinite(v) for v in hist["loss"])
+    assert os.path.isfile(os.path.join(tmp_path, "tiny_latest.msgpack"))
+    assert os.path.isfile(os.path.join(tmp_path, "tiny_hist.json"))
+
+    # resume: restores epoch counter and keeps training
+    tr2 = Trainer(module, variables, cfg)
+    assert tr2.restore_latest()
+    assert tr2.initial_epoch == 2
+    tr2.cfg.epochs = 3
+    hist2 = tr2.fit(data_iter, val_iter_fn=None)
+    assert len(hist2["loss"]) == 1
+
+
+def test_sgdw_weight_decay_only_on_kernels():
+    from vip_cup_2022_tpu.train import create_optimizer, weight_decay_mask
+
+    params = {"conv": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones((3,))}}
+    mask = weight_decay_mask(params)
+    assert mask["conv"]["kernel"] is True and mask["conv"]["bias"] is False
+    tx = create_optimizer("sgdw", 1.0, weight_decay=0.1, momentum=0.0)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # zero grads: kernel gets pure weight decay, bias untouched
+    assert np.allclose(np.asarray(updates["conv"]["kernel"]), -0.1)
+    assert np.allclose(np.asarray(updates["conv"]["bias"]), 0.0)

@@ -2,7 +2,12 @@
 ``main.py:28-37`` imports all four zoos for layer registration; here one
 registry serves the same role)."""
 
+from . import aotnet  # noqa: F401
+from . import convnext  # noqa: F401
+from . import efficientnet  # noqa: F401
 from . import gcvit  # noqa: F401
+from . import nfnets  # noqa: F401
+from . import vit  # noqa: F401
 from . import resnet_rs  # noqa: F401
 from .base import ModelConfig  # noqa: F401
 from .factory import create_model, create_preprocessing, transfer_weights  # noqa: F401

@@ -1,0 +1,459 @@
+"""AotNet — kecam's configurable ResNet meta-builder (ensemble member
+ResNest50 builds on it; also ResNet-D / ResNeXt / RegNet-Z derivatives).
+
+Architecture parity with reference keras_cv_attention_models/aotnet/aotnet.py:
+- ``attn_block`` dispatcher over attn_types {None/resnet, 'sa' split-attention,
+  groups-conv(ResNeXt), se/eca} (:30-97; bot/halo/cot/outlook hook points
+  reserved for their families)
+- ``conv_shortcut_branch`` with shortcut_type conv/avg/anti_alias (:100-117)
+- ``deep_branch`` 1x1 -> attn(3x3) -> 1x1 with bn_after_attn toggle (:119-137)
+- ``aot_block`` preact/resnet variants, zero-gamma closing BN (:139-193)
+- stems: deep/deep2/quad/tiered/kernel_3x3/7x7 (:238-287)
+- ``AotNet`` assembly with per-stack parameter broadcasting (:290-377)
+- split_attention_conv2d + rsoftmax (resnest/resnest.py:16-66)
+
+Module names mirror kecam layer names so the generic kecam h5 mapper applies.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import BatchNorm, DropPath, apply_activation, make_divisible
+from ..ops.conv import AntiAliasDownsample
+from .base import IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD, ModelConfig, preprocess_input
+from .registry import register_model
+
+Dtype = Any
+
+
+def _per_stack(v, i):
+    return v[i] if isinstance(v, (list, tuple)) else v
+
+
+@dataclasses.dataclass(frozen=True)
+class AotNetConfig(ModelConfig):
+    num_blocks: Tuple[int, ...] = (3, 4, 6, 3)
+    preact: bool = False
+    strides: Tuple[int, ...] = (1, 2, 2, 2)
+    strides_first: bool = True
+    out_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
+    hidden_channel_ratio: Any = 0.25
+    use_3x3_kernel: bool = False
+    use_block_output_activation: bool = True
+    bn_epsilon: float = 1e-5
+    stem_width: int = 64
+    stem_type: Optional[str] = None  # deep/deep2/quad/tiered/kernel_3x3/None
+    quad_stem_act: bool = False
+    stem_last_strides: int = 1
+    stem_downsample: bool = True
+    attn_types: Any = None  # None | 'sa' | per-stack tuple
+    attn_params: Any = dataclasses.field(default_factory=dict)
+    se_ratio: Any = 0.0
+    use_eca: Any = False
+    groups: Any = 1
+    group_size: Any = 0
+    bn_after_attn: bool = True
+    shortcut_type: Optional[str] = "conv"  # conv/avg/anti_alias/None
+    activation: str = "relu"
+    drop_connect_rate: float = 0.0
+    output_num_features: int = 0
+    drop_rate: float = 0.0
+    classifier_activation: Optional[str] = "softmax"
+    # kecam models use rescale_mode 'torch' when preprocessing is requested;
+    # weights are trained on [0,1]*imagenet-normalized? No: the serialized
+    # h5s consume whatever the training pipeline fed. Default to imagenet.
+    mean: Optional[Tuple[float, ...]] = IMAGENET_DEFAULT_MEAN
+    std: Optional[Tuple[float, ...]] = IMAGENET_DEFAULT_STD
+
+
+class AotNet(nn.Module):
+    cfg: AotNetConfig
+
+    # ------------------------------------------------------------------
+    # helpers (called inside the compact __call__, submodule names flat)
+    # ------------------------------------------------------------------
+    def _conv_nb(self, x, filters, kernel, stride, name, groups=1, padding="SAME"):
+        # kecam conv2d_no_bias with torch padding (common_layers.py:230-250)
+        if padding.upper() == "SAME" and kernel > 1:
+            p = kernel // 2
+            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        return nn.Conv(
+            filters, (kernel, kernel), strides=(stride, stride), padding="VALID",
+            use_bias=False, feature_group_count=max(1, groups),
+            dtype=self.cfg.dtype, name=name + "conv",
+        )(x)
+
+    def _bn_act(self, x, act, name, zero_gamma=False, training=False):
+        x = BatchNorm(
+            momentum=0.9, epsilon=self.cfg.bn_epsilon, zero_gamma=zero_gamma,
+            dtype=self.cfg.dtype, name=name + "bn",
+        )(x, training=training)
+        return apply_activation(x, act) if act else x
+
+    def _se(self, x, se_ratio, divisor, act, name):
+        ch = x.shape[-1]
+        reduction = make_divisible(ch * se_ratio, divisor)
+        se = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+        se = nn.Conv(reduction, (1, 1), use_bias=True, dtype=self.cfg.dtype, name=name + "1_conv")(se)
+        se = apply_activation(se, act)
+        se = nn.Conv(ch, (1, 1), use_bias=True, dtype=self.cfg.dtype, name=name + "2_conv")(se)
+        se = apply_activation(se, "sigmoid")
+        return x * se
+
+    def _eca(self, x, name):
+        import math
+
+        ch = x.shape[-1]
+        tt = int((math.log2(float(ch)) + 1.0) / 2.0)
+        k = max(tt if tt % 2 else tt + 1, 3)
+        pad = k // 2
+        v = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
+        v = jnp.pad(v, ((0, 0), (pad, pad)))[:, :, None]
+        v = nn.Conv(1, (k,), padding="VALID", use_bias=False, dtype=self.cfg.dtype, name=name + "conv1d")(v)
+        v = apply_activation(jnp.squeeze(v, -1), "sigmoid")
+        return x * v[:, None, None, :]
+
+    def _split_attention(self, x, filters, kernel, stride, groups, act, name, training):
+        """resnest split_attention_conv2d (resnest.py:16-66), downsample_first=False."""
+        in_channels = x.shape[-1]
+        if groups == 1:
+            logits = self._conv_nb(x, filters, kernel, 1, name + "1_")
+        else:
+            parts = jnp.split(x, groups, axis=-1)
+            logits = jnp.concatenate(
+                [
+                    self._conv_nb(p, filters, kernel, 1, name + f"1_g{i + 1}_")
+                    for i, p in enumerate(parts)
+                ],
+                axis=-1,
+            )
+        logits = self._bn_act(logits, act, name + "1_", training=training)
+
+        if groups > 1:
+            gap = sum(jnp.split(logits, groups, axis=-1))
+        else:
+            gap = logits
+        gap = jnp.mean(gap.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+
+        inter = max(in_channels * groups // 4, 32)
+        att = nn.Conv(inter, (1, 1), use_bias=True, dtype=self.cfg.dtype, name=name + "2_conv")(gap)
+        att = self._bn_act(att, act, name + "2_", training=training)
+        att = nn.Conv(filters * groups, (1, 1), use_bias=True, dtype=self.cfg.dtype, name=name + "3_conv")(att)
+        if groups > 1:
+            b = att.shape[0]
+            att = att.reshape(b, 1, groups, filters)
+            att = jax.nn.softmax(att.astype(jnp.float32), axis=2).astype(x.dtype)
+            att = att.reshape(b, 1, 1, groups * filters)
+        else:
+            att = apply_activation(att, "sigmoid")
+        out = att * logits
+        if groups > 1:
+            out = sum(jnp.split(out, groups, axis=-1))
+        if stride > 1:
+            out = jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            out = nn.avg_pool(out, (3, 3), strides=(2, 2), padding="VALID")
+        return out
+
+    def _attn_block(self, x, filters, stride, stack_cfg, name, training):
+        cfg = self.cfg
+        attn_type = stack_cfg["attn_type"]
+        act = cfg.activation
+        need_downsample = False
+        if attn_type == "sa":
+            params = {"kernel_size": 3, "groups": 2, **(stack_cfg["attn_params"] or {})}
+            x = self._split_attention(
+                x, filters, params["kernel_size"], stride, params["groups"], act,
+                name + "sa_", training,
+            )
+        elif attn_type is None:
+            groups = stack_cfg["groups"] if stack_cfg["group_size"] == 0 else filters // stack_cfg["group_size"]
+            conv_name = (name + "GC_") if groups > 1 else name
+            x = self._conv_nb(x, filters, 3, stride, conv_name, groups=max(1, groups))
+        else:
+            raise NotImplementedError(f"attn_type '{attn_type}' lands with its family module")
+
+        if stride != 1 and need_downsample:
+            x = nn.avg_pool(x, (2, 2), strides=(stride, stride), padding="VALID")
+        if cfg.bn_after_attn:
+            x = self._bn_act(x, act, name, training=training)
+        if attn_type is None and stack_cfg["se_ratio"]:
+            x = self._se(x, stack_cfg["se_ratio"], 8, act, name + "se_")
+        if attn_type is None and stack_cfg["use_eca"]:
+            x = self._eca(x, name + "eca_")
+        return x
+
+    # ------------------------------------------------------------------
+    @nn.compact
+    def __call__(self, x, training: bool = False, features_only: bool = False):
+        cfg = self.cfg
+        act = cfg.activation
+        x = preprocess_input(x, cfg)
+
+        # stem (aot_stem :274-287)
+        sw = cfg.stem_width
+        fs = cfg.first_strides
+        if cfg.stem_type in ("deep", "deep2"):
+            hidden = sw // 2 if cfg.stem_type == "deep" else sw
+            x = self._conv_nb(x, hidden, 3, fs, "stem_1_")
+            x = self._bn_act(x, act, "stem_1_", training=training)
+            x = self._conv_nb(x, hidden, 3, 1, "stem_2_")
+            x = self._bn_act(x, act, "stem_2_", training=training)
+            x = self._conv_nb(x, sw, 3, cfg.stem_last_strides, "stem_3_")
+        elif cfg.stem_type == "quad":
+            x = self._conv_nb(x, sw // 8, 3, 2, "stem_1_")
+            if cfg.quad_stem_act:
+                x = self._bn_act(x, act, "stem_1_", training=training)
+            x = self._conv_nb(x, sw // 4, 3, 1, "stem_2_")
+            if cfg.quad_stem_act:
+                x = self._bn_act(x, act, "stem_2_", training=training)
+            x = self._conv_nb(x, sw // 2, 3, 1, "stem_3_")
+            x = self._bn_act(x, act, "stem_3_", training=training)
+            x = self._conv_nb(x, sw, 3, cfg.stem_last_strides, "stem_4_")
+        elif cfg.stem_type == "tiered":
+            x = self._conv_nb(x, 3 * sw // 8, 3, 2, "stem_1_")
+            x = self._bn_act(x, act, "stem_1_", training=training)
+            x = self._conv_nb(x, sw // 2, 3, 1, "stem_2_")
+            x = self._bn_act(x, act, "stem_2_", training=training)
+            x = self._conv_nb(x, sw, 3, cfg.stem_last_strides, "stem_3_")
+        elif cfg.stem_type == "kernel_3x3":
+            x = self._conv_nb(x, sw, 3, fs, "stem_")
+        else:
+            x = self._conv_nb(x, sw, 7, fs, "stem_")
+
+        if not cfg.preact:
+            x = self._bn_act(x, act, "stem_", training=training)
+        if cfg.stem_downsample:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+        # stacks
+        from ..ops.drop import drop_connect_rates_split
+
+        dcr = drop_connect_rates_split(cfg.num_blocks, 0.0, cfg.drop_connect_rate)
+        for sid, (num_block, out_channel, stride) in enumerate(
+            zip(cfg.num_blocks, cfg.out_channels, cfg.strides)
+        ):
+            sname = f"stack{sid + 1}_"
+            stack_cfg = {
+                "attn_type": _per_stack(cfg.attn_types, sid),
+                "attn_params": _per_stack(cfg.attn_params, sid),
+                "se_ratio": _per_stack(cfg.se_ratio, sid),
+                "use_eca": _per_stack(cfg.use_eca, sid),
+                "groups": _per_stack(cfg.groups, sid),
+                "group_size": _per_stack(cfg.group_size, sid),
+            }
+            ratio = _per_stack(cfg.hidden_channel_ratio, sid)
+            strides_block_id = 0 if cfg.strides_first else num_block - 1
+            for bid in range(num_block):
+                name = sname + f"block{bid + 1}_"
+                cur_stride = stride if bid == strides_block_id else 1
+                conv_shortcut = bid == 0 and (stride != 1 or x.shape[-1] != out_channel)
+                x = self._aot_block(
+                    x, out_channel, cur_stride, conv_shortcut,
+                    _per_stack(ratio, bid) if isinstance(ratio, (list, tuple)) else ratio,
+                    dcr[sid][bid], stack_cfg, name, training,
+                )
+
+        if cfg.preact:
+            x = self._bn_act(x, act, "post_", training=training)
+        if cfg.output_num_features > 0:
+            x = self._conv_nb(x, cfg.output_num_features, 1, 1, "features_", padding="VALID")
+            x = self._bn_act(x, act, "features_", training=training)
+
+        if features_only:
+            return x
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        if cfg.nb_classes <= 0:
+            return x
+        x = nn.Dropout(cfg.drop_rate, deterministic=not training)(x)
+        x = nn.Dense(cfg.nb_classes, dtype=jnp.float32, name="predictions")(x)
+        if cfg.classifier_activation:
+            x = apply_activation(x, cfg.classifier_activation)
+        return x
+
+    def _aot_block(self, x, filters, stride, conv_shortcut, ratio, drop_rate, stack_cfg, name, training):
+        cfg = self.cfg
+        act = cfg.activation
+
+        if cfg.preact:
+            pre = self._bn_act(x, act, name + "preact_", training=training)
+        else:
+            pre = x
+
+        if conv_shortcut:
+            sc = pre
+            sc_stride = stride
+            if stride > 1 and cfg.shortcut_type == "avg":
+                sc = nn.avg_pool(sc, (stride, stride), strides=(stride, stride), padding="SAME", count_include_pad=False)
+                sc_stride = 1
+            elif stride > 1 and cfg.shortcut_type == "anti_alias":
+                sc = AntiAliasDownsample(kernel_size=3, strides=2, name=name + "shortcut_down")(sc)
+                sc_stride = 1
+            if cfg.shortcut_type is None:
+                shortcut = None
+            else:
+                sc = self._conv_nb(sc, filters, 1, sc_stride, name + "shortcut_", padding="VALID")
+                if not cfg.preact:
+                    sc = self._bn_act(sc, None, name + "shortcut_", training=training)
+                shortcut = sc
+        else:
+            shortcut = (
+                nn.max_pool(x, (stride, stride), strides=(stride, stride), padding="SAME")
+                if stride > 1
+                else x
+            )
+
+        # deep branch (:119-137)
+        hidden = int(filters * ratio)
+        if cfg.use_3x3_kernel:
+            deep = self._conv_nb(pre, hidden, 3, 1, name + "deep_1_")
+        else:
+            deep = self._conv_nb(pre, hidden, 1, 1, name + "deep_1_", padding="VALID")
+        deep = self._bn_act(deep, act, name + "deep_1_", training=training)
+        deep = self._attn_block(deep, hidden, stride, stack_cfg, name + "deep_2_", training)
+        if not cfg.use_3x3_kernel:
+            deep = self._conv_nb(deep, filters, 1, 1, name + "deep_3_", padding="VALID")
+
+        if cfg.preact:
+            deep = DropPath(drop_rate, name=name + "drop")(deep, training=training)
+            return shortcut + deep if shortcut is not None else deep
+        if not (cfg.use_3x3_kernel and cfg.bn_after_attn):
+            deep = self._bn_act(deep, None, name + "3_", zero_gamma=True, training=training)
+        deep = DropPath(drop_rate, name=name + "drop")(deep, training=training)
+        out = shortcut + deep if shortcut is not None else deep
+        if cfg.use_block_output_activation:
+            out = apply_activation(out, act)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# registry: AotNet base sizes + ResNest family (resnest/resnest.py:69-89)
+# ---------------------------------------------------------------------------
+
+_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3), 200: (3, 24, 36, 3)}
+
+
+def _aotnet(name, depth, **kw):
+    return AotNet, AotNetConfig(name=name, num_blocks=_BLOCKS[depth], **kw)
+
+
+@register_model
+def aotnet50():
+    return _aotnet("aotnet50", 50)
+
+
+@register_model
+def aotnet101():
+    return _aotnet("aotnet101", 101)
+
+
+def _resnest(name, num_blocks, stem_width, input_size):
+    cfg = AotNetConfig(
+        name=name,
+        num_blocks=num_blocks,
+        stem_width=stem_width,
+        stem_type="deep",
+        attn_types="sa",
+        attn_params={"kernel_size": 3, "groups": 2},
+        bn_after_attn=False,
+        shortcut_type="avg",
+        input_size=input_size,
+    )
+    return AotNet, cfg
+
+
+@register_model
+def ResNest50():
+    return _resnest("ResNest50", (3, 4, 6, 3), 64, (224, 224))
+
+
+@register_model
+def ResNest101():
+    return _resnest("ResNest101", (3, 4, 23, 3), 128, (256, 256))
+
+
+@register_model
+def ResNest200():
+    return _resnest("ResNest200", (3, 24, 36, 3), 128, (320, 320))
+
+
+@register_model
+def ResNest269():
+    return _resnest("ResNest269", (3, 30, 48, 8), 128, (416, 416))
+
+
+# ResNet-D (kecam resnet_family/resnet_deep.py:12-36): deep stem + avg shortcut
+def _resnet_d(name, depth, input_size=(224, 224), **kw):
+    cfg = AotNetConfig(
+        name=name,
+        num_blocks=_BLOCKS[depth],
+        stem_width=64,
+        stem_type="deep",
+        shortcut_type="avg",
+        input_size=input_size,
+        **kw,
+    )
+    return AotNet, cfg
+
+
+@register_model
+def ResNet50D():
+    return _resnet_d("ResNet50D", 50)
+
+
+@register_model
+def ResNet101D():
+    return _resnet_d("ResNet101D", 101)
+
+
+@register_model
+def ResNet152D():
+    return _resnet_d("ResNet152D", 152)
+
+
+@register_model
+def ResNet200D():
+    return _resnet_d("ResNet200D", 200)
+
+
+# ResNeXt (kecam resnet_family/resnext.py): grouped 3x3, hidden ratio 0.5
+def _resnext(name, num_blocks, hidden_ratio=0.5, groups=32, stem_type=None, se_ratio=0.0):
+    cfg = AotNetConfig(
+        name=name,
+        num_blocks=num_blocks,
+        hidden_channel_ratio=hidden_ratio,
+        groups=groups,
+        stem_type=stem_type,
+        se_ratio=se_ratio,
+    )
+    return AotNet, cfg
+
+
+@register_model
+def ResNeXt50():
+    return _resnext("ResNeXt50", (3, 4, 6, 3))
+
+
+@register_model
+def ResNeXt101():
+    return _resnext("ResNeXt101", (3, 4, 23, 3))
+
+
+@register_model
+def ResNeXt50D():
+    return _resnext("ResNeXt50D", (3, 4, 6, 3), stem_type="deep")
+
+
+@register_model
+def ResNeXt101W():
+    return _resnext("ResNeXt101W", (3, 4, 23, 3), hidden_ratio=1.0)
+
+
+@register_model
+def ResNeXt101W_64():
+    return _resnext("ResNeXt101W_64", (3, 4, 23, 3), hidden_ratio=1.0, groups=64)

@@ -1,0 +1,244 @@
+"""ConvNeXt family (ensemble member convnext_tiny_in22k-200x200; NAME2BS also
+lists base/large 22k/22ft1k variants).
+
+Architecture parity with reference models/tfimm/architectures/convnext.py:
+- block: pad3 + dwconv7x7 -> LN(1e-6) -> MLP (dense or conv flavor) ->
+  layer-scale gamma -> drop-path -> residual (:147-229)
+- stage: LN + conv2x2 s2 downsample, then blocks (:232-296)
+- stem: conv patch_size=4, stride ``first_down * 2`` — the team's ``first_down``
+  knob and the ``_fd2`` variants (:115, :323, :528-537, :646-656)
+- head: GAP -> LN -> dropout -> fc (:353-360, call :411-438)
+
+TPU notes: NHWC; the 7x7 depthwise runs as a grouped conv XLA maps to the
+convolution unit; LN stats in f32.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import DropPath, LayerNorm, apply_activation
+from .base import IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD, ModelConfig, preprocess_input
+from .registry import register_model
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvNeXtConfig(ModelConfig):
+    patch_size: int = 4
+    first_down: int = 1  # team modification (convnext.py:115)
+    embed_dim: Tuple[int, ...] = (96, 192, 384, 768)
+    nb_blocks: Tuple[int, ...] = (3, 3, 9, 3)
+    mlp_ratio: float = 4.0
+    conv_mlp_block: bool = False
+    drop_path_rate: float = 0.1
+    norm_eps: float = 1e-6
+    act_layer: str = "gelu"
+    init_scale: float = 1e-6
+    crop_pct: float = 0.875
+    classifier_activation: Optional[str] = "softmax"
+
+
+class ConvNeXtBlock(nn.Module):
+    cfg: ConvNeXtConfig
+    embed_dim: int
+    drop_path_rate: float
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        cfg = self.cfg
+        c = self.embed_dim
+        shortcut = x
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        x = nn.Conv(
+            c, (7, 7), padding="VALID", feature_group_count=c, dtype=cfg.dtype, name="conv_dw"
+        )(x)
+        x = LayerNorm(epsilon=cfg.norm_eps, name="norm")(x)
+        # MLP: dense flavor (timm's default for these variants); the conv
+        # flavor is pointwise 1x1 convs — identical math, same param shapes
+        hidden = int(cfg.mlp_ratio * c)
+        if cfg.conv_mlp_block:
+            x = nn.Conv(hidden, (1, 1), dtype=cfg.dtype, name="mlp_fc1")(x)
+            x = apply_activation(x, cfg.act_layer)
+            x = nn.Conv(c, (1, 1), dtype=cfg.dtype, name="mlp_fc2")(x)
+        else:
+            x = nn.Dense(hidden, dtype=cfg.dtype, name="mlp_fc1")(x)
+            x = apply_activation(x, cfg.act_layer)
+            x = nn.Dropout(cfg.drop_rate, deterministic=not training)(x)
+            x = nn.Dense(c, dtype=cfg.dtype, name="mlp_fc2")(x)
+            x = nn.Dropout(cfg.drop_rate, deterministic=not training)(x)
+        gamma = self.param("gamma", nn.initializers.constant(cfg.init_scale), (c,), jnp.float32)
+        x = x * gamma.astype(x.dtype)
+        x = DropPath(self.drop_path_rate, name="drop_path")(x, training=training)
+        return x + shortcut
+
+
+class ConvNeXt(nn.Module):
+    cfg: ConvNeXtConfig
+
+    @nn.compact
+    def __call__(self, x, training: bool = False, features_only: bool = False):
+        cfg = self.cfg
+        x = preprocess_input(x, cfg)
+        x = nn.Conv(
+            cfg.embed_dim[0],
+            (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.first_down * 2, cfg.first_down * 2),
+            padding="VALID",
+            dtype=cfg.dtype,
+            name="stem_conv",
+        )(x)
+        x = LayerNorm(epsilon=cfg.norm_eps, name="stem_norm")(x)
+
+        dpr = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.nb_blocks))
+        pos = 0
+        for j, nb in enumerate(cfg.nb_blocks):
+            if j > 0:
+                x = LayerNorm(epsilon=cfg.norm_eps, name=f"stages_{j}_downsample_norm")(x)
+                x = nn.Conv(
+                    cfg.embed_dim[j], (2, 2), strides=(2, 2), padding="VALID",
+                    dtype=cfg.dtype, name=f"stages_{j}_downsample_conv",
+                )(x)
+            for idx in range(nb):
+                x = ConvNeXtBlock(
+                    cfg, cfg.embed_dim[j], float(dpr[pos]), name=f"stages_{j}_blocks_{idx}"
+                )(x, training=training)
+                pos += 1
+
+        if features_only:
+            return x
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        x = LayerNorm(epsilon=cfg.norm_eps, name="head_norm")(x)
+        x = nn.Dropout(cfg.drop_rate, deterministic=not training)(x)
+        if cfg.nb_classes <= 0:
+            return x
+        x = nn.Dense(cfg.nb_classes, dtype=jnp.float32, name="head_fc")(x)
+        if cfg.classifier_activation:
+            x = apply_activation(x, cfg.classifier_activation)
+        return x
+
+
+_DIMS = {
+    "tiny": ((96, 192, 384, 768), (3, 3, 9, 3)),
+    "small": ((96, 192, 384, 768), (3, 3, 27, 3)),
+    "base": ((128, 256, 512, 1024), (3, 3, 27, 3)),
+    "large": ((192, 384, 768, 1536), (3, 3, 27, 3)),
+    "xlarge": ((256, 512, 1024, 2048), (3, 3, 27, 3)),
+}
+
+
+def _make(name: str, size: str, **kw):
+    dims, blocks = _DIMS[size]
+    return ConvNeXt, ConvNeXtConfig(name=name, embed_dim=dims, nb_blocks=blocks, **kw)
+
+
+# registry mirrors the reference variant set (convnext.py:441-676), including
+# the team's _fd2 first-down-2 models
+@register_model
+def convnext_tiny():
+    return _make("convnext_tiny", "tiny")
+
+
+@register_model
+def convnext_small():
+    return _make("convnext_small", "small")
+
+
+@register_model
+def convnext_base():
+    return _make("convnext_base", "base")
+
+
+@register_model
+def convnext_large():
+    return _make("convnext_large", "large")
+
+
+@register_model
+def convnext_tiny_in22ft1k():
+    return _make("convnext_tiny_in22ft1k", "tiny")
+
+
+@register_model
+def convnext_small_in22ft1k():
+    return _make("convnext_small_in22ft1k", "small")
+
+
+@register_model
+def convnext_base_in22ft1k():
+    return _make("convnext_base_in22ft1k", "base")
+
+
+@register_model
+def convnext_large_in22ft1k():
+    return _make("convnext_large_in22ft1k", "large")
+
+
+@register_model
+def convnext_large_in22ft1k_fd2():
+    return _make("convnext_large_in22ft1k_fd2", "large", first_down=2)
+
+
+@register_model
+def convnext_xlarge_in22ft1k():
+    return _make("convnext_xlarge_in22ft1k", "xlarge")
+
+
+@register_model
+def convnext_tiny_384_in22ft1k():
+    return _make("convnext_tiny_384_in22ft1k", "tiny", input_size=(384, 384), crop_pct=1.0)
+
+
+@register_model
+def convnext_small_384_in22ft1k():
+    return _make("convnext_small_384_in22ft1k", "small", input_size=(384, 384), crop_pct=1.0)
+
+
+@register_model
+def convnext_base_384_in22ft1k():
+    return _make("convnext_base_384_in22ft1k", "base", input_size=(384, 384), crop_pct=1.0)
+
+
+@register_model
+def convnext_large_384_in22ft1k():
+    return _make("convnext_large_384_in22ft1k", "large", input_size=(384, 384), crop_pct=1.0)
+
+
+@register_model
+def convnext_xlarge_384_in22ft1k():
+    return _make("convnext_xlarge_384_in22ft1k", "xlarge", input_size=(384, 384), crop_pct=1.0)
+
+
+@register_model
+def convnext_tiny_in22k():
+    return _make("convnext_tiny_in22k", "tiny", nb_classes=21841)
+
+
+@register_model
+def convnext_small_in22k():
+    return _make("convnext_small_in22k", "small", nb_classes=21841)
+
+
+@register_model
+def convnext_base_in22k():
+    return _make("convnext_base_in22k", "base", nb_classes=21841)
+
+
+@register_model
+def convnext_base_in22k_fd2():
+    return _make("convnext_base_in22k_fd2", "base", nb_classes=21841, first_down=2)
+
+
+@register_model
+def convnext_large_in22k():
+    return _make("convnext_large_in22k", "large", nb_classes=21841)
+
+
+@register_model
+def convnext_xlarge_in22k():
+    return _make("convnext_xlarge_in22k", "xlarge", nb_classes=21841)

@@ -74,24 +74,20 @@ class SE(nn.Module):
         return x * s[:, None, None, :]
 
 
-class _ConvBlock(nn.Module):
+def _conv_branch(parent, x, dtype):
     """The shared pad->dwconv->gelu->SE->1x1 residual branch of
-    ReduceSize/FeatExtract."""
-
-    dtype: Dtype = None
-
-    @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        r = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        r = nn.Conv(
-            c, (3, 3), padding="VALID", feature_group_count=c, use_bias=False,
-            dtype=self.dtype, name="conv_0",
-        )(r)
-        r = apply_activation(r, "gelu")
-        r = SE(dtype=self.dtype, name="conv_2")(r)
-        r = nn.Conv(c, (1, 1), padding="VALID", use_bias=False, dtype=self.dtype, name="conv_3")(r)
-        return x + r
+    ReduceSize/FeatExtract. Submodule names (conv_0/conv_2/conv_3) mirror the
+    Keras sublayer list for weight conversion."""
+    c = x.shape[-1]
+    r = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    r = nn.Conv(
+        c, (3, 3), padding="VALID", feature_group_count=c, use_bias=False,
+        dtype=dtype, name="conv_0",
+    )(r)
+    r = apply_activation(r, "gelu")
+    r = SE(dtype=dtype, name="conv_2")(r)
+    r = nn.Conv(c, (1, 1), padding="VALID", use_bias=False, dtype=dtype, name="conv_3")(r)
+    return x + r
 
 
 class ReduceSize(nn.Module):
@@ -104,7 +100,7 @@ class ReduceSize(nn.Module):
         dim = x.shape[-1]
         dim_out = dim if self.keep_dim else 2 * dim
         x = LayerNorm(epsilon=1e-5, name="norm1")(x)
-        x = _ConvBlock(dtype=self.dtype, name="conv")(x)
+        x = _conv_branch(self, x, self.dtype)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         x = nn.Conv(
             dim_out, (3, 3), strides=(self.first_strides, self.first_strides),
@@ -120,7 +116,7 @@ class FeatExtract(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = _ConvBlock(dtype=self.dtype, name="conv")(x)
+        x = _conv_branch(self, x, self.dtype)
         if not self.keep_dim:
             x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")

@@ -1,0 +1,317 @@
+"""Training loop.
+
+Parity surface (SURVEY.md §2.5/§3.4-3.5):
+- kecam ``train()`` driver (imagenet/train_func.py:204-255): per-batch cosine
+  LR, checkpoint latest + best-by-monitor (MyCheckpoint callbacks.py:199-241),
+  per-epoch JSON history with regularization-loss split (MyHistory :156-197),
+  TerminateOnNaN.
+- tfimm SingleGPUTrainer (train/trainer.py:72-317): epochs/validation cadence,
+  ckpt-manager resume with optimizer+step state, validation_before_training.
+
+TPU-native: one jitted train_step with batch sharded over the mesh 'data'
+axis, parameters replicated, gradients all-reduced by XLA from the sharding
+annotations (no hand-written collectives); orbax for resumable state.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel.mesh import batch_sharding, get_mesh, replicated
+from .losses import binary_cross_entropy_timm, categorical_cross_entropy
+from .mixup import mixup_cutmix
+from .optimizers import create_optimizer
+from .sam import sam_gradient
+from .schedules import CosineLrScheduler
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 10
+    steps_per_epoch: int = 100
+    lr_base: float = 1e-3
+    lr_schedule: str = "cosine"  # cosine | constant
+    first_restart_step: float = 10
+    warmup_epochs: float = 1
+    cooldown_epochs: float = 0
+    lr_min: float = 1e-6
+    t_mul: float = 2.0
+    m_mul: float = 0.5
+    optimizer: str = "adamw"
+    weight_decay: float = 0.02
+    momentum: float = 0.9
+    grad_clip_norm: Optional[float] = None
+    loss: str = "bce_timm"  # bce_timm | categorical
+    label_smoothing: float = 0.0
+    target_threshold: float = 0.0  # bce_timm binarization point
+    mixup_alpha: float = 0.0
+    cutmix_alpha: float = 0.0
+    use_sam: bool = False
+    sam_rho: float = 0.05
+    monitor: str = "val_loss"  # best-checkpoint criterion
+    monitor_mode: str = "min"
+    ckpt_dir: str = "checkpoints"
+    basic_save_name: str = "model"
+    keep_n_checkpoints: int = 3
+    seed: int = 42
+
+
+class Trainer:
+    """Functional trainer over a Flax module + variables.
+
+    data iterators yield ``(images_u8_or_f32, labels)`` numpy batches; labels
+    are one/multi-hot float arrays (or int class ids for categorical loss).
+    """
+
+    def __init__(self, module, variables, cfg: TrainConfig, mesh=None):
+        self.module = module
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+
+        self.lr_fn = CosineLrScheduler(
+            cfg.lr_base,
+            cfg.first_restart_step,
+            steps_per_epoch=cfg.steps_per_epoch,
+            m_mul=cfg.m_mul,
+            t_mul=cfg.t_mul,
+            lr_min=cfg.lr_min,
+            warmup_steps=cfg.warmup_epochs,
+            cooldown_steps=cfg.cooldown_epochs,
+        )
+        # the optimizer is built at unit LR; the jitted step multiplies the
+        # produced updates by the lr scalar passed in each call, keeping the
+        # compiled program schedule-agnostic (optax scales decoupled weight
+        # decay by lr the same way)
+        self.tx = create_optimizer(
+            cfg.optimizer,
+            learning_rate=1.0,
+            weight_decay=cfg.weight_decay,
+            momentum=cfg.momentum,
+            grad_clip_norm=cfg.grad_clip_norm,
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.global_step = 0
+        self.initial_epoch = 0
+        self.history: Dict[str, list] = {"lr": [], "loss": [], "val_loss": [], "val_acc": []}
+        self._best = math.inf if cfg.monitor_mode == "min" else -math.inf
+        self._best_path = None
+        self._step_fn = None
+        self._eval_fn = None
+
+    # ------------------------------------------------------------------
+    def _loss(self, labels, outputs):
+        cfg = self.cfg
+        if cfg.loss == "bce_timm":
+            return jnp.mean(
+                binary_cross_entropy_timm(
+                    labels, outputs, target_threshold=cfg.target_threshold,
+                    label_smoothing=cfg.label_smoothing,
+                )
+            )
+        return jnp.mean(categorical_cross_entropy(labels, outputs, cfg.label_smoothing))
+
+    def _build_step(self):
+        cfg = self.cfg
+        module = self.module
+        tx = self.tx
+
+        def train_step(params, batch_stats, opt_state, lr, images, labels, rng):
+            rng_mix, rng_drop = jax.random.split(rng)
+            x = images.astype(jnp.float32)
+            if x.dtype != jnp.float32:
+                x = x / 255.0
+            if cfg.mixup_alpha or cfg.cutmix_alpha:
+                x, labels = mixup_cutmix(rng_mix, x, labels, cfg.mixup_alpha, cfg.cutmix_alpha)
+
+            def loss_fn(p):
+                out, mut = module.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    x,
+                    training=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": rng_drop},
+                )
+                loss = self._loss(labels, out.astype(jnp.float32))
+                return loss, mut.get("batch_stats", batch_stats)
+
+            if cfg.use_sam:
+                (loss, new_stats), grads = sam_gradient(loss_fn, params, cfg.sam_rho, has_aux=True)
+            else:
+                (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr.astype(u.dtype), updates)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_stats, new_opt, loss
+
+        data_shard = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        return jax.jit(
+            train_step,
+            in_shardings=(rep, rep, rep, rep, data_shard, data_shard, rep),
+            out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 1, 2),
+        )
+
+    def _build_eval(self):
+        module = self.module
+
+        def eval_step(params, batch_stats, images, labels):
+            x = images.astype(jnp.float32)
+            out = module.apply({"params": params, "batch_stats": batch_stats}, x)
+            out = out.astype(jnp.float32)
+            loss = self._loss(labels, out)
+            if out.shape[-1] == labels.shape[-1]:
+                acc = jnp.mean(
+                    (jnp.argmax(out, -1) == jnp.argmax(labels, -1)).astype(jnp.float32)
+                )
+            else:
+                acc = jnp.zeros(())
+            return loss, acc
+
+        return jax.jit(eval_step, in_shardings=(replicated(self.mesh), replicated(self.mesh), batch_sharding(self.mesh), batch_sharding(self.mesh)))
+
+    # ------------------------------------------------------------------
+    # checkpointing (MyCheckpoint parity: *_latest + best-by-monitor pruning)
+    # ------------------------------------------------------------------
+    def _save(self, tag: str) -> str:
+        from ..utils.checkpoint import save_variables
+
+        path = os.path.join(self.cfg.ckpt_dir, f"{self.cfg.basic_save_name}_{tag}.msgpack")
+        save_variables(
+            path,
+            {
+                "params": self.params,
+                "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state,
+                "meta": {
+                    "global_step": np.asarray(self.global_step),
+                    "epoch": np.asarray(self.initial_epoch),
+                },
+            },
+        )
+        return path
+
+    def save_latest(self):
+        return self._save("latest")
+
+    def maybe_save_best(self, monitor_value: float, epoch: int):
+        better = (
+            monitor_value < self._best
+            if self.cfg.monitor_mode == "min"
+            else monitor_value > self._best
+        )
+        if not better:
+            return None
+        self._best = monitor_value
+        path = self._save(f"epoch{epoch}_{self.cfg.monitor}{monitor_value:.4f}")
+        if self._best_path and os.path.exists(self._best_path):
+            os.remove(self._best_path)  # prune previous best (callbacks.py:199-241)
+        self._best_path = path
+        return path
+
+    def restore_latest(self) -> bool:
+        from ..utils.checkpoint import load_variables
+
+        path = os.path.join(self.cfg.ckpt_dir, f"{self.cfg.basic_save_name}_latest.msgpack")
+        if not os.path.isfile(path):
+            return False
+        state = load_variables(path)
+        # restore by structure (msgpack gives plain dicts)
+        self.params = state["params"]
+        self.batch_stats = state.get("batch_stats", {})
+        import flax.serialization
+
+        self.opt_state = flax.serialization.from_state_dict(self.opt_state, state["opt_state"])
+        self.global_step = int(state["meta"]["global_step"])
+        self.initial_epoch = int(state["meta"]["epoch"])
+        return True
+
+    def _dump_history(self):
+        os.makedirs(self.cfg.ckpt_dir, exist_ok=True)
+        path = os.path.join(self.cfg.ckpt_dir, f"{self.cfg.basic_save_name}_hist.json")
+        with open(path, "w") as fh:
+            json.dump(self.history, fh)
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_iter_fn: Callable[[], Iterable[Tuple[np.ndarray, np.ndarray]]],
+        val_iter_fn: Optional[Callable[[], Iterable[Tuple[np.ndarray, np.ndarray]]]] = None,
+        verbose: int = 1,
+    ):
+        cfg = self.cfg
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        if self._eval_fn is None and val_iter_fn is not None:
+            self._eval_fn = self._build_eval()
+        rng = jax.random.PRNGKey(cfg.seed)
+
+        for epoch in range(self.initial_epoch, cfg.epochs):
+            t0 = time.time()
+            losses = []
+            lr = cfg.lr_base
+            for step, (images, labels) in enumerate(train_iter_fn()):
+                if step >= cfg.steps_per_epoch:
+                    break
+                lr = self.lr_fn(self.global_step) if cfg.lr_schedule == "cosine" else cfg.lr_base
+                rng, sub = jax.random.split(rng)
+                self.params, self.batch_stats, self.opt_state, loss = self._step_fn(
+                    self.params,
+                    self.batch_stats,
+                    self.opt_state,
+                    jnp.asarray(lr, jnp.float32),
+                    images,
+                    labels,
+                    sub,
+                )
+                self.global_step += 1
+                loss = float(loss)
+                if math.isnan(loss) or math.isinf(loss):  # TerminateOnNaN
+                    print(f"NaN/Inf loss at step {self.global_step}; terminating.")
+                    self._dump_history()
+                    return self.history
+                losses.append(loss)
+
+            epoch_loss = float(np.mean(losses)) if losses else float("nan")
+            self.history["lr"].append(float(lr))
+            self.history["loss"].append(epoch_loss)
+
+            val_loss, val_acc = float("nan"), float("nan")
+            if val_iter_fn is not None:
+                vl, va, n = 0.0, 0.0, 0
+                for images, labels in val_iter_fn():
+                    loss, acc = self._eval_fn(self.params, self.batch_stats, images, labels)
+                    vl += float(loss)
+                    va += float(acc)
+                    n += 1
+                if n:
+                    val_loss, val_acc = vl / n, va / n
+            self.history["val_loss"].append(val_loss)
+            self.history["val_acc"].append(val_acc)
+
+            self.initial_epoch = epoch + 1
+            self.save_latest()
+            monitor = {
+                "val_loss": val_loss, "loss": epoch_loss, "val_acc": val_acc
+            }.get(cfg.monitor, val_loss)
+            if not math.isnan(monitor):
+                self.maybe_save_best(monitor, epoch)
+            self._dump_history()
+            if verbose:
+                print(
+                    f"epoch {epoch + 1}/{cfg.epochs} loss={epoch_loss:.4f} "
+                    f"val_loss={val_loss:.4f} val_acc={val_acc:.4f} lr={lr:.3e} "
+                    f"({time.time() - t0:.1f}s)"
+                )
+        return self.history

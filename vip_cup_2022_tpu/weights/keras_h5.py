@@ -122,3 +122,139 @@ def map_resnet_rs(weights: Dict[str, np.ndarray], model_name: str):
         # anything else (normalization preprocessing layers etc.) is skipped
 
     return {"params": params, "batch_stats": batch_stats}
+
+
+# ---------------------------------------------------------------------------
+# GCViT (subclassed-Keras save_weights layout: '<layer>/<model_name>/<path>')
+# ---------------------------------------------------------------------------
+
+_GCVIT_STRIP_RE = re.compile(r"^(?:.*?)/(gcvit[^/]*|GCViT[^/]*)/(.*)$")
+
+
+def _merge_numeric(parts):
+    """'levels/0/blocks/1' -> ['levels_0', 'blocks_1'] (Keras sublayer lists
+    are numbered path components; flax names use underscores)."""
+    out = []
+    for p in parts:
+        if p.isdigit() and out:
+            out[-1] = f"{out[-1]}_{p}"
+        else:
+            out.append(p)
+    return out
+
+
+@register_weight_mapper("gcvit")
+def map_gcvit(weights: Dict[str, np.ndarray], model_name: str):
+    params: Dict = {}
+    for key, value in weights.items():
+        m = _GCVIT_STRIP_RE.match(key)
+        path = m.group(2) if m else key
+        parts = _merge_numeric(path.split("/"))
+        # FeatExtract pyramid is flattened in the flax module
+        if len(parts) >= 2 and parts[0].startswith("levels") and parts[1] == "q_global_gen":
+            parts = [parts[0], f"q_global_gen_{parts[2]}"] + parts[3:]
+        wname = parts[-1]
+        if wname == "depthwise_kernel":
+            # keras (h, w, C, 1) -> flax grouped conv (h, w, 1, C)
+            value = np.transpose(value, (0, 1, 3, 2))
+            parts[-1] = "kernel"
+        _set(params, tuple(parts), value)
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Generic kecam mapper: our kecam-family flax modules reuse the exact
+# functional-Keras layer names, so conversion is rename-free — split
+# layer/weight, route BN moving stats, transpose depthwise kernels.
+# Covers: EfficientNet V1/V2, NFNets/ECA_NFNet, ResNest, ResNet-D/AotNet,
+# HorNet, ... (register each family's prefixes below as they land).
+# ---------------------------------------------------------------------------
+
+
+@register_weight_mapper("efficientnet", "eca_nfnet", "nfnet", "resnest", "aotnet",
+                        "resnet", "hornet", "regnet", "resnext", "kecam")
+def map_kecam(weights: Dict[str, np.ndarray], model_name: str):
+    params: Dict = {}
+    batch_stats: Dict = {}
+    for key, value in weights.items():
+        layer, wname = key.rsplit("/", 1)
+        layer = layer.split("/")[-1]  # functional h5 nests layer/layer/weight
+        if wname == "depthwise_kernel":
+            value = np.transpose(value, (0, 1, 3, 2))
+            wname = "kernel"
+        target = batch_stats if wname.startswith("moving_") else params
+        _set(target, (layer, wname), value)
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
+# ---------------------------------------------------------------------------
+# tfimm ConvNeXt (subclassed model; layer names stem/0, stages/0/blocks/0/...)
+# ---------------------------------------------------------------------------
+
+_CONVNEXT_STRIP_RE = re.compile(r"^(?:.*?)/(convnext[^/]*)/(.*)$")
+
+
+@register_weight_mapper("convnext")
+def map_convnext(weights: Dict[str, np.ndarray], model_name: str):
+    params: Dict = {}
+    for key, value in weights.items():
+        m = _CONVNEXT_STRIP_RE.match(key)
+        path = m.group(2) if m else key
+        parts = path.split("/")
+        wname = parts[-1]
+        if wname == "depthwise_kernel":
+            value = np.transpose(value, (0, 1, 3, 2))
+            wname = "kernel"
+
+        if parts[0] == "stem":
+            dest = ("stem_conv" if parts[1] == "0" else "stem_norm", wname)
+        elif parts[0] == "head":
+            dest = (f"head_{parts[1]}", wname)
+        elif parts[0] == "stages":
+            j = parts[1]
+            if parts[2] == "downsample":
+                which = "norm" if parts[3] == "0" else "conv"
+                dest = (f"stages_{j}_downsample_{which}", wname)
+            elif parts[2] == "blocks":
+                i = parts[3]
+                block = f"stages_{j}_blocks_{i}"
+                rest = parts[4:-1]
+                if rest == ["mlp", "fc1"]:
+                    dest = (block, "mlp_fc1", wname)
+                elif rest == ["mlp", "fc2"]:
+                    dest = (block, "mlp_fc2", wname)
+                elif rest:
+                    dest = (block, *rest, wname)
+                else:  # block-level gamma
+                    dest = (block, wname)
+            else:
+                continue
+        else:
+            continue
+        _set(params, dest, value)
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# tfimm ViT/DeiT (subclassed; '<layer>/<model_name>/<path>' h5 layout)
+# ---------------------------------------------------------------------------
+
+_VIT_STRIP_RE = re.compile(r"^(?:.*?)/((?:vit|deit)[^/]*)/(.*)$")
+
+
+@register_weight_mapper("vit", "deit")
+def map_vit(weights: Dict[str, np.ndarray], model_name: str):
+    params: Dict = {}
+    for key, value in weights.items():
+        m = _VIT_STRIP_RE.match(key)
+        path = m.group(2) if m else key
+        parts = _merge_numeric(path.split("/"))
+        if parts[0] == "patch_embed":
+            parts = ["patch_embed_" + parts[1]] + parts[2:]
+        elif parts[0] == "pre_logits":
+            parts = ["pre_logits_" + parts[1]] + parts[2:]
+        _set(params, tuple(parts), value)
+    return {"params": params}
