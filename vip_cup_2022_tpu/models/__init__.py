@@ -6,9 +6,11 @@ from . import aotnet  # noqa: F401
 from . import convnext  # noqa: F401
 from . import efficientnet  # noqa: F401
 from . import gcvit  # noqa: F401
+from . import hornet  # noqa: F401
 from . import nfnets  # noqa: F401
 from . import vit  # noqa: F401
 from . import resnet_rs  # noqa: F401
+from . import swin_v2  # noqa: F401
 from .base import ModelConfig  # noqa: F401
 from .factory import create_model, create_preprocessing, transfer_weights  # noqa: F401
 from .registry import (  # noqa: F401
