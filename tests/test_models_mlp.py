@@ -1,0 +1,67 @@
+"""MLP family (Mixer/ResMLP/gMLP): h5-conversion parity vs kecam."""
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vip_cup_2022_tpu.models import create_model, transfer_weights
+from vip_cup_2022_tpu.weights.keras_h5 import convert_keras_h5
+
+
+@pytest.fixture()
+def ref_path(reference_models_path):
+    import _tfa_stub
+
+    _tfa_stub.install()
+    sys.path.insert(0, reference_models_path)
+    yield reference_models_path
+    sys.path.remove(reference_models_path)
+
+
+def _check(ref_model, our_name, tmp_path, input_size=(64, 64), nb_classes=5, **kw):
+    h5 = os.path.join(tmp_path, "m.h5")
+    ref_model.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(2, *input_size, 3)).astype(np.float32)
+    y_ref = ref_model(x, training=False).numpy()
+
+    m, v, _ = create_model(
+        our_name, input_size=input_size, nb_classes=nb_classes, mean=None, std=None, **kw
+    )
+    loaded = convert_keras_h5(h5, our_name)
+    merged = transfer_weights(loaded, v)
+
+    from flax.traverse_util import flatten_dict
+
+    src = set(flatten_dict(loaded["params"]))
+    dst = flatten_dict(v["params"])
+    missing = [k for k in dst if k not in src]
+    assert not missing, f"unmatched params: {missing[:10]}"
+
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_mlp_mixer_s32(ref_path, tmp_path):
+    from keras_cv_attention_models.mlp_family import MLPMixerS32
+
+    ref = MLPMixerS32(input_shape=(64, 64, 3), pretrained=None, num_classes=5)
+    _check(ref, "MLPMixerS32", tmp_path)
+
+
+@pytest.mark.parity
+def test_parity_resmlp12(ref_path, tmp_path):
+    from keras_cv_attention_models.mlp_family import ResMLP12
+
+    ref = ResMLP12(input_shape=(64, 64, 3), pretrained=None, num_classes=5)
+    _check(ref, "ResMLP12", tmp_path)
+
+
+@pytest.mark.parity
+def test_parity_gmlp_tiny16(ref_path, tmp_path):
+    from keras_cv_attention_models.mlp_family import GMLPTiny16
+
+    ref = GMLPTiny16(input_shape=(64, 64, 3), pretrained=None, num_classes=5)
+    _check(ref, "GMLPTiny16", tmp_path)

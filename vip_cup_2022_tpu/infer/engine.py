@@ -190,15 +190,20 @@ class EnsembleEngine:
             if ckpt is not None:
                 loaded = load_weights(ckpt, name)
                 variables = transfer_weights(loaded, variables)
-            chunks = []
+            # keep per-batch outputs on device; jax's async dispatch overlaps
+            # batch N+1's H2D transfer with batch N's compute, and the single
+            # host fetch at the end avoids a per-batch roundtrip
+            device_chunks, valid = [], []
             for start in range(0, n, batch_size):
                 chunk = imgs[start : start + batch_size]
                 batch = np.zeros((batch_size, *NATIVE_SIZE, 3), np.uint8)
                 batch[: len(chunk)] = np.stack(chunk)
                 rng, sub = jax.random.split(rng)
-                out = fwd(variables, batch, sub)
-                chunks.append(np.asarray(out[: len(chunk)]))
-            pred = np.concatenate(chunks, axis=0)
+                device_chunks.append(fwd(variables, batch, sub))
+                valid.append(len(chunk))
+            pred = np.concatenate(
+                [np.asarray(out)[:nv] for out, nv in zip(device_chunks, valid)], axis=0
+            )
             if pred.ndim == 1:
                 pred = pred[:, None]
             if pred.shape[1] > 1:  # multiclass -> binary (main.py:113-114)

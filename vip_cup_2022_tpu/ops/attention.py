@@ -72,9 +72,6 @@ class WindowAttention(nn.Module):
         else:
             q, k, v = qkv[0], qkv[1], qkv[2]
 
-        q = q * scale
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
-
         ws = self.window_size
         table = self.param(
             "relative_position_bias_table",
@@ -85,11 +82,18 @@ class WindowAttention(nn.Module):
         idx = relative_position_index(ws, ws).reshape(-1)
         bias = table[idx].reshape(ws * ws, ws * ws, self.num_heads)
         bias = jnp.transpose(bias, (2, 0, 1))  # (heads, N, N)
-        attn = attn.astype(jnp.float32) + bias[None]
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        attn = nn.Dropout(self.attn_drop, deterministic=not training)(attn)
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        if not training or self.attn_drop == 0.0:
+            # fused pallas kernel on TPU, einsum fallback elsewhere
+            from .pallas.window_attention import window_attention as fused_attn
+
+            out = fused_attn(q, k, v, bias, scale)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+            attn = attn.astype(jnp.float32) + bias[None]
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            attn = nn.Dropout(self.attn_drop, deterministic=not training)(attn)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b_, n, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not training)(out)

@@ -172,13 +172,23 @@ def map_gcvit(weights: Dict[str, np.ndarray], model_name: str):
 
 
 @register_weight_mapper("efficientnet", "eca_nfnet", "nfnet", "resnest", "aotnet",
-                        "resnet", "hornet", "regnet", "resnext", "kecam")
+                        "resnet", "hornet", "regnet", "resnext", "kecam",
+                        "mlpmixer", "resmlp", "gmlp", "swintransformer")
 def map_kecam(weights: Dict[str, np.ndarray], model_name: str):
     params: Dict = {}
     batch_stats: Dict = {}
     for key, value in weights.items():
-        layer, wname = key.rsplit("/", 1)
-        layer = layer.split("/")[-1]  # functional h5 nests layer/layer/weight
+        comps = key.split("/")
+        wname = comps[-1]
+        body = comps[:-1]
+        # functional h5 nests '<layer.name>/<layer.name>/<weight>' where
+        # layer.name itself may contain slashes (e.g. mixer's
+        # 'MixerBlock_0/token_mixing/Dense_0') — detect the duplicated halves
+        half = len(body) // 2
+        if body and len(body) % 2 == 0 and body[:half] == body[half:]:
+            layer = "_".join(body[:half])
+        else:
+            layer = body[-1] if body else key
         if wname == "depthwise_kernel":
             value = np.transpose(value, (0, 1, 3, 2))
             wname = "kernel"
