@@ -79,7 +79,11 @@ def main(argv):
 
     engine = EnsembleEngine(mesh=mesh, verbose=verbose)
     start = time.time()
-    engine.predict_soln(CFG, ensemble=True)
+    if int(os.environ.get("VIPTPU_FUSED", "0")):
+        # whole-ensemble-as-one-program fast path (single-fold members)
+        engine.predict_soln_fused(CFG)
+    else:
+        engine.predict_soln(CFG, ensemble=True)
     eta = (time.time() - start) / 60
     print(f"\n> TIME TO INFER: {eta:0.2f} min")
 

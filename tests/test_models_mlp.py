@@ -65,3 +65,19 @@ def test_parity_gmlp_tiny16(ref_path, tmp_path):
 
     ref = GMLPTiny16(input_shape=(64, 64, 3), pretrained=None, num_classes=5)
     _check(ref, "GMLPTiny16", tmp_path)
+
+
+@pytest.mark.parity
+def test_parity_mobilenetv3_small(ref_path, tmp_path):
+    from keras_cv_attention_models.mobilenetv3_family import MobileNetV3Small100
+
+    ref = MobileNetV3Small100(input_shape=(96, 96, 3), pretrained=None, num_classes=5)
+    _check(ref, "MobileNetV3Small100", tmp_path, input_size=(96, 96))
+
+
+@pytest.mark.parity
+def test_parity_mobilenetv3_large(ref_path, tmp_path):
+    from keras_cv_attention_models.mobilenetv3_family import MobileNetV3Large100
+
+    ref = MobileNetV3Large100(input_shape=(96, 96, 3), pretrained=None, num_classes=5)
+    _check(ref, "MobileNetV3Large100", tmp_path, input_size=(96, 96))

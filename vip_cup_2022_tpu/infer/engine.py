@@ -145,6 +145,47 @@ class EnsembleEngine:
 
         return jax.jit(forward, in_shardings=(None, batch_sharding(self.mesh), None))
 
+    def build_fused_ensemble(self, members, tta: int = 1):
+        """One jitted program for the WHOLE ensemble (SURVEY.md §7 config 4):
+        shared uint8 input -> per-member resize/normalize -> all member
+        forwards back-to-back -> multiclass->binary -> mean over members (and
+        TTA copies), entirely on device. XLA schedules the members as one
+        graph; one dispatch per batch instead of per member x batch.
+
+        ``members``: list of (module, dim) — call with the matching list of
+        variables. Returns fn(list_of_variables, u8, rng) -> (B, 1) mean prob.
+        """
+        compute_dtype = self.compute_dtype
+        specs = [(module, tuple(dim)) for module, dim in members]
+
+        def member_forward(module, variables, x):
+            p = module.apply(variables, x).astype(jnp.float32)
+            if p.ndim == 1:
+                p = p[:, None]
+            if p.shape[1] > 1:
+                p = 1.0 - p[:, 0:1]  # multiclass -> binary (main.py:113-114)
+            return p
+
+        def forward(all_variables, u8, rng):
+            x0 = u8.astype(jnp.float32) / 255.0
+            preds = []
+            for (module, dim), variables in zip(specs, all_variables):
+                x = resize(x0, dim, method="bicubic") if dim != NATIVE_SIZE else x0
+                x = x.astype(compute_dtype)
+                if tta > 1:
+                    def one(key, x=x, module=module, variables=variables):
+                        return member_forward(module, variables, apply_augment(key, x))
+
+                    outs = jax.lax.map(one, jax.random.split(rng, tta))
+                    preds.append(jnp.mean(outs, axis=0))
+                else:
+                    preds.append(member_forward(module, variables, x))
+            return jnp.mean(jnp.stack(preds), axis=0)
+
+        return jax.jit(
+            forward, in_shardings=(None, batch_sharding(self.mesh), None)
+        )
+
     # ------------------------------------------------------------------
     # prediction
     # ------------------------------------------------------------------
@@ -210,6 +251,59 @@ class EnsembleEngine:
                 pred = 1.0 - pred[:, 0:1]
             fold_preds.append(pred)
         return getattr(np, agg)(fold_preds, axis=0)
+
+    def predict_soln_fused(self, cfg):
+        """Fast path: the whole ensemble as ONE jitted program per batch
+        (single-fold members). Same CSV contract as predict_soln."""
+        test_csv = pd.read_csv(cfg.test_csv)
+        test_names = test_csv.filename.values
+        test_paths = [os.path.join(cfg.infer_path, n) for n in test_names]
+        if cfg.debug:
+            test_paths = test_paths[:100]
+            test_names = test_names[:100]
+
+        members, all_variables = [], []
+        for base_dir, ckpt_paths, dim, idx in cfg.ckpt_cfg:
+            name = registry_name(base_dir)
+            overrides: Dict = {}
+            if ckpt_paths:
+                cfg_json = os.path.join(os.path.dirname(ckpt_paths[0]), "config.json")
+                if os.path.isfile(cfg_json):
+                    with open(cfg_json) as fh:
+                        overrides = json.load(fh)
+                    overrides.pop("input_size", None)
+            module, variables, _ = create_model(
+                name, input_size=tuple(dim), dtype=self.compute_dtype, **overrides
+            )
+            if ckpt_paths:
+                loaded = load_weights(sorted(ckpt_paths)[0], name)
+                variables = transfer_weights(loaded, variables)
+            members.append((module, tuple(dim)))
+            all_variables.append(variables)
+
+        fwd = self.build_fused_ensemble(members, tta=cfg.tta)
+        batch_size = pad_to_multiple(
+            int(os.environ.get("VIPTPU_MAX_BATCH", "0")) or 128, num_replicas(self.mesh)
+        )
+        imgs = self._decode_all(test_paths)
+        rng = jax.random.PRNGKey(cfg.seed)
+        outs, valid = [], []
+        for start in range(0, len(imgs), batch_size):
+            chunk = imgs[start : start + batch_size]
+            batch = np.zeros((batch_size, *NATIVE_SIZE, 3), np.uint8)
+            batch[: len(chunk)] = np.stack(chunk)
+            rng, sub = jax.random.split(rng)
+            outs.append(fwd(all_variables, batch, sub))
+            valid.append(len(chunk))
+        pred = np.concatenate([np.asarray(o)[:nv] for o, nv in zip(outs, valid)], 0)
+
+        out_df = pd.DataFrame({"filename": np.array(test_names), "logit": pred[:, 0]})
+        out_df = out_df.sort_values("filename").reset_index(drop=True)
+        out_df["logit"] = (out_df.logit > cfg.thr) * 1.0
+        out_df.to_csv(cfg.output_csv_path, index=False)
+        if cfg.verbose:
+            print("\n> FINAL PREDICTION SAVED TO ", cfg.output_csv_path)
+        return out_df
 
     def predict_soln(self, cfg, ensemble: bool = True):
         """Reference-contract driver (main.py:58-149). ``cfg`` is the untyped

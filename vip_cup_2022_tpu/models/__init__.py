@@ -8,6 +8,7 @@ from . import efficientnet  # noqa: F401
 from . import gcvit  # noqa: F401
 from . import hornet  # noqa: F401
 from . import mlp_family  # noqa: F401
+from . import mobilenetv3  # noqa: F401
 from . import nfnets  # noqa: F401
 from . import vit  # noqa: F401
 from . import resnet_rs  # noqa: F401

@@ -60,7 +60,13 @@ def window_attention(
         (B, H, N, D) in v.dtype.
     """
     if use_pallas is None:
-        use_pallas = _HAS_PALLAS and jax.default_backend() == "tpu"
+        import os
+
+        use_pallas = (
+            _HAS_PALLAS
+            and jax.default_backend() == "tpu"
+            and not int(os.environ.get("VIPTPU_NO_PALLAS", "0"))
+        )
     if not (use_pallas or interpret):
         s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32) * scale, k.astype(jnp.float32))
         s = s + bias.astype(jnp.float32)[None]

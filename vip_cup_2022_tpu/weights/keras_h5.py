@@ -268,3 +268,11 @@ def map_vit(weights: Dict[str, np.ndarray], model_name: str):
             parts = ["pre_logits_" + parts[1]] + parts[2:]
         _set(params, tuple(parts), value)
     return {"params": params}
+
+
+# additional kecam-family prefixes routed to the generic mapper
+for _prefix in ("mobilenet", "lcnet", "fbnet", "tinynet", "beit", "uniformer",
+                "davit", "coatnet", "edgenext", "efficientformer", "levit",
+                "mobilevit", "nat", "volo", "halonet", "botnet", "cotnet",
+                "cmt", "coat"):
+    _WEIGHT_MAPPERS[_prefix] = map_kecam
