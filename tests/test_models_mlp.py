@@ -81,3 +81,23 @@ def test_parity_mobilenetv3_large(ref_path, tmp_path):
 
     ref = MobileNetV3Large100(input_shape=(96, 96, 3), pretrained=None, num_classes=5)
     _check(ref, "MobileNetV3Large100", tmp_path, input_size=(96, 96))
+
+
+@pytest.mark.parity
+def test_parity_beit_base(ref_path, tmp_path):
+    from keras_cv_attention_models.beit import Beit
+
+    # small beit via the builder (depth 2) for speed; exercises the rel-pos
+    # table with cls-token entries and q/v bias layers
+    ref = Beit(depth=2, embed_dim=192, num_heads=3, input_shape=(96, 96, 3),
+               pretrained=None, num_classes=5, model_name="beit_test")
+    _check(ref, "BeitBasePatch16", tmp_path, input_size=(96, 96),
+           depth=2, embed_dim=192, num_heads=3)
+
+
+@pytest.mark.parity
+def test_parity_uniformer_small64(ref_path, tmp_path):
+    from keras_cv_attention_models.uniformer import UniformerSmall64
+
+    ref = UniformerSmall64(input_shape=(64, 64, 3), pretrained=None, num_classes=5)
+    _check(ref, "UniformerSmall64", tmp_path, input_size=(64, 64))

@@ -160,3 +160,23 @@ def test_sgdw_weight_decay_only_on_kernels():
     # zero grads: kernel gets pure weight decay, bias untouched
     assert np.allclose(np.asarray(updates["conv"]["kernel"]), -0.1)
     assert np.allclose(np.asarray(updates["conv"]["bias"]), 0.0)
+
+
+def test_trainer_distillation(tiny_model, tmp_path):
+    module, variables, _ = tiny_model
+    rng = np.random.RandomState(1)
+
+    def data_iter():
+        for _ in range(2):
+            x = rng.uniform(size=(8, 32, 32, 3)).astype(np.float32)
+            y = np.eye(3, dtype=np.float32)[rng.randint(0, 3, size=8)]
+            yield x, y
+
+    cfg = TrainConfig(
+        epochs=1, steps_per_epoch=2, lr_base=1e-3, loss="categorical",
+        ckpt_dir=str(tmp_path), basic_save_name="distill", monitor="loss",
+    )
+    tr = Trainer(module, variables, cfg)
+    tr.set_teacher(module, variables, temperature=5.0, weight=0.5)
+    hist = tr.fit(data_iter)
+    assert np.isfinite(hist["loss"][0])

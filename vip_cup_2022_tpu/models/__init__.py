@@ -3,6 +3,7 @@
 registry serves the same role)."""
 
 from . import aotnet  # noqa: F401
+from . import beit  # noqa: F401
 from . import convnext  # noqa: F401
 from . import efficientnet  # noqa: F401
 from . import gcvit  # noqa: F401
@@ -12,6 +13,7 @@ from . import mobilenetv3  # noqa: F401
 from . import nfnets  # noqa: F401
 from . import vit  # noqa: F401
 from . import resnet_rs  # noqa: F401
+from . import uniformer  # noqa: F401
 from . import swin_v2  # noqa: F401
 from .base import ModelConfig  # noqa: F401
 from .factory import create_model, create_preprocessing, transfer_weights  # noqa: F401

@@ -76,8 +76,12 @@ class Trainer:
         self.module = module
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else get_mesh()
-        self.params = variables["params"]
-        self.batch_stats = variables.get("batch_stats", {})
+        # own copies: the jitted step donates these buffers, which must not
+        # invalidate the caller's variables
+        self.params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        self.batch_stats = jax.tree_util.tree_map(
+            jnp.array, variables.get("batch_stats", {})
+        )
 
         self.lr_fn = CosineLrScheduler(
             cfg.lr_base,
@@ -103,11 +107,20 @@ class Trainer:
         self.opt_state = self.tx.init(self.params)
         self.global_step = 0
         self.initial_epoch = 0
+        # knowledge distillation (tfimm DistillationProblem / kecam
+        # DistillKLDivergenceLoss): set via set_teacher()
+        self._teacher = None
         self.history: Dict[str, list] = {"lr": [], "loss": [], "val_loss": [], "val_acc": []}
         self._best = math.inf if cfg.monitor_mode == "min" else -math.inf
         self._best_path = None
         self._step_fn = None
         self._eval_fn = None
+
+    def set_teacher(self, module, variables, temperature: float = 10.0, weight: float = 1.0):
+        """Enable distillation: total loss = task loss + weight * KL(teacher||student)
+        with temperature-softened distributions (losses.py:37-59 parity)."""
+        self._teacher = (module, variables, temperature, weight)
+        self._step_fn = None  # rebuild
 
     # ------------------------------------------------------------------
     def _loss(self, labels, outputs):
@@ -134,6 +147,8 @@ class Trainer:
             if cfg.mixup_alpha or cfg.cutmix_alpha:
                 x, labels = mixup_cutmix(rng_mix, x, labels, cfg.mixup_alpha, cfg.cutmix_alpha)
 
+            teacher = self._teacher
+
             def loss_fn(p):
                 out, mut = module.apply(
                     {"params": p, "batch_stats": batch_stats},
@@ -142,7 +157,14 @@ class Trainer:
                     mutable=["batch_stats"],
                     rngs={"dropout": rng_drop},
                 )
-                loss = self._loss(labels, out.astype(jnp.float32))
+                out = out.astype(jnp.float32)
+                loss = self._loss(labels, out)
+                if teacher is not None:
+                    t_module, t_vars, temp, w = teacher
+                    t_out = t_module.apply(t_vars, x).astype(jnp.float32)
+                    from .losses import distill_kl_divergence
+
+                    loss = loss + w * jnp.mean(distill_kl_divergence(t_out, out, temp))
                 return loss, mut.get("batch_stats", batch_stats)
 
             if cfg.use_sam:
