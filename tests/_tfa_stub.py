@@ -21,6 +21,7 @@ def install():
             return tf.reduce_mean(x, axis=[1, 2], keepdims=True)
 
     layers_mod.AdaptiveAveragePooling2D = AdaptiveAveragePooling2D
+    layers_mod.GroupNormalization = tf.keras.layers.GroupNormalization
     tfa.layers = layers_mod
     image_mod = types.ModuleType("tensorflow_addons.image")
     tfa.image = image_mod

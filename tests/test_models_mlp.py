@@ -20,11 +20,16 @@ def ref_path(reference_models_path):
     sys.path.remove(reference_models_path)
 
 
-def _check(ref_model, our_name, tmp_path, input_size=(64, 64), nb_classes=5, **kw):
+def _check(ref_model, our_name, tmp_path, input_size=(64, 64), nb_classes=5, jit_ref=False, **kw):
     h5 = os.path.join(tmp_path, "m.h5")
     ref_model.save_weights(h5)
     x = np.random.uniform(0, 1, size=(2, *input_size, 3)).astype(np.float32)
-    y_ref = ref_model(x, training=False).numpy()
+    if jit_ref:  # some reference ops (6-D softmax) lack eager CPU kernels
+        import tensorflow as tf
+
+        y_ref = tf.function(lambda v: ref_model(v, training=False), jit_compile=True)(x).numpy()
+    else:
+        y_ref = ref_model(x, training=False).numpy()
 
     m, v, _ = create_model(
         our_name, input_size=input_size, nb_classes=nb_classes, mean=None, std=None, **kw
@@ -101,3 +106,27 @@ def test_parity_uniformer_small64(ref_path, tmp_path):
 
     ref = UniformerSmall64(input_shape=(64, 64, 3), pretrained=None, num_classes=5)
     _check(ref, "UniformerSmall64", tmp_path, input_size=(64, 64))
+
+
+@pytest.mark.parity
+def test_parity_botnet26t(ref_path, tmp_path):
+    from keras_cv_attention_models.botnet import BotNet26T
+
+    ref = BotNet26T(input_shape=(128, 128, 3), pretrained=None, num_classes=5)
+    _check(ref, "BotNet26T", tmp_path, input_size=(128, 128))
+
+
+@pytest.mark.parity
+def test_parity_halonet26t(ref_path, tmp_path):
+    from keras_cv_attention_models.halonet import HaloNet26T
+
+    ref = HaloNet26T(input_shape=(256, 256, 3), pretrained=None, num_classes=5)
+    _check(ref, "HaloNet26T", tmp_path, input_size=(256, 256), jit_ref=True)
+
+
+@pytest.mark.parity
+def test_parity_cotnet50(ref_path, tmp_path):
+    from keras_cv_attention_models.cotnet import CotNet50
+
+    ref = CotNet50(input_shape=(96, 96, 3), pretrained=None, num_classes=5)
+    _check(ref, "CotNet50", tmp_path, input_size=(96, 96))

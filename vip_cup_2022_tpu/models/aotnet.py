@@ -35,6 +35,51 @@ def _per_stack(v, i):
     return v[i] if isinstance(v, (list, tuple)) else v
 
 
+def _rel_to_abs(rel_pos):
+    """botnet rel->abs indexing (botnet.py:64-84); supports pos_dim > ww
+    (halo's kv window larger than the query block)."""
+    bh, hh, ww, dim = rel_pos.shape
+    pos_dim = (dim + 1) // 2
+    if pos_dim == 1:
+        return rel_pos
+    if ww == 1:
+        return rel_pos[:, :, :, -pos_dim:]
+    full_rank_gap = pos_dim - ww
+    flat = rel_pos.reshape(bh, hh, ww * dim)[:, :, ww - 1 : -1]
+    return flat.reshape(bh, hh, ww, 2 * (pos_dim - 1))[:, :, :, full_rank_gap : pos_dim + full_rank_gap]
+
+
+class RelativePositionalEmbedding(nn.Module):
+    """botnet RelativePositionalEmbedding (botnet.py:24-112): factorized
+    per-axis relative logits added to attention scores. ``pos_height/width``
+    may exceed the query block (halo). Weights r_height/r_width are
+    (key_dim, 2*pos-1)."""
+
+    key_dim: int
+    pos_height: int
+    pos_width: int
+    relative: bool = True
+
+    @nn.compact
+    def __call__(self, pos_query):
+        # pos_query: (B, H', qh, qw, key_dim) — H' folds heads (and halo grid)
+        init = nn.initializers.normal(self.key_dim**-0.5)
+        hs = 2 * self.pos_height - 1 if self.relative else self.pos_height
+        ws = 2 * self.pos_width - 1 if self.relative else self.pos_width
+        pos_h = self.param("r_height", init, (self.key_dim, hs), jnp.float32)
+        pos_w = self.param("r_width", init, (self.key_dim, ws), jnp.float32)
+        bq, nh, qh, qw, kd = pos_query.shape
+        flat = pos_query.reshape(bq * nh, qh, qw, kd)
+        logits_w = jnp.einsum("bhwd,dk->bhwk", flat, pos_w.astype(flat.dtype))
+        logits_h = jnp.einsum("bwhd,dk->bwhk", jnp.transpose(flat, (0, 2, 1, 3)), pos_h.astype(flat.dtype))
+        if self.relative:
+            logits_w = _rel_to_abs(logits_w)
+            logits_h = _rel_to_abs(logits_h)
+        logits_h = jnp.transpose(logits_h, (0, 2, 1, 3))
+        logits = logits_w[:, :, :, None, :] + logits_h[:, :, :, :, None]
+        return logits.reshape(bq, nh, qh, qw, self.pos_height, self.pos_width)
+
+
 @dataclasses.dataclass(frozen=True)
 class AotNetConfig(ModelConfig):
     num_blocks: Tuple[int, ...] = (3, 4, 6, 3)
@@ -159,15 +204,201 @@ class AotNet(nn.Module):
             out = nn.avg_pool(out, (3, 3), strides=(2, 2), padding="VALID")
         return out
 
+    def _bot_mhsa(self, x, out_shape, params, name, training):
+        """botnet mhsa_with_relative_position_embedding (botnet.py:126-171)."""
+        cfg = self.cfg
+        num_heads = params.get("num_heads", 4)
+        relative = params.get("relative", True)
+        out_weight = params.get("out_weight", True)
+        out_bias = params.get("out_bias", False)
+        b, hh, ww, c = x.shape
+        key_dim = params.get("key_dim", 0) or c // num_heads
+        out_shape = c if not out_weight else out_shape
+        qk_out = num_heads * key_dim
+        vv_dim = out_shape // num_heads
+        scale = key_dim**-0.5
+
+        qkv = nn.Conv(qk_out * 2 + out_shape, (1, 1), use_bias=False, dtype=cfg.dtype, name=name + "qkv_conv")(x)
+        qkv = qkv.reshape(b, hh * ww, qk_out * 2 + out_shape)
+        q, k, v = jnp.split(qkv, [qk_out, qk_out * 2], axis=-1)
+        q = jnp.transpose(q.reshape(b, hh * ww, num_heads, key_dim), (0, 2, 1, 3))
+        k = jnp.transpose(k.reshape(b, hh * ww, num_heads, key_dim), (0, 2, 1, 3))
+        v = jnp.transpose(v.reshape(b, hh * ww, num_heads, vv_dim), (0, 2, 1, 3))
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+
+        # NOTE: the reference scales only the QK^T product, not the positional
+        # logits (botnet.py:145-152 — `query *= qk_scale` is commented out)
+        pos_query = q.reshape(b, num_heads, hh, ww, key_dim)
+        pos = RelativePositionalEmbedding(key_dim, hh, ww, relative, name=name + "pos_emb")(pos_query)
+        attn = attn + pos.reshape(b, num_heads, hh * ww, hh * ww).astype(attn.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, hh, ww, num_heads * vv_dim)
+        if out_weight:
+            out = nn.Dense(out_shape, use_bias=out_bias, dtype=cfg.dtype, name=name + "output")(out)
+        return out
+
+    def _halo_attention(self, x, out_shape, stride, params, name, training):
+        """halonet halo_attention (halonet.py:34-120): blocked local attention
+        with haloed key/value windows and relative position bias."""
+        cfg = self.cfg
+        num_heads = params.get("num_heads", 8)
+        block_size = params.get("block_size", 4)
+        halo_size = params.get("halo_size", 1)
+        out_weight = params.get("out_weight", True)
+        out_bias = params.get("out_bias", False)
+        b, hh, ww, c = x.shape
+        kd = params.get("key_dim", 0)
+        if kd > 1:
+            key_dim = int(kd)
+        elif kd > 0:
+            key_dim = make_divisible(c * kd, divisor=8) // num_heads
+        else:
+            key_dim = c // num_heads
+        scale = key_dim**-0.5
+        emb_dim = num_heads * key_dim
+        kv_kernel = block_size + halo_size * 2
+        if block_size % stride != 0:
+            avg_pool_down, q_stride = True, 1
+        else:
+            avg_pool_down, q_stride = False, stride
+        query_block = block_size // q_stride
+
+        q = nn.Conv(emb_dim, (1, 1), strides=(q_stride, q_stride), padding="VALID",
+                    use_bias=False, dtype=cfg.dtype, name=name + "query_conv")(x)
+        _, qh, qw, _ = q.shape
+        hh_q, ww_q, cc_q = qh // query_block, qw // query_block, emb_dim // num_heads
+        q = q.reshape(b, hh_q, query_block, ww_q, query_block, num_heads, cc_q)
+        q = jnp.transpose(q, (0, 5, 1, 3, 2, 4, 6))
+        attn_q = q.reshape(b, num_heads, hh_q, ww_q, query_block * query_block, cc_q) * scale
+        pos_q = q.reshape(b, num_heads * hh_q * ww_q, query_block, query_block, cc_q)
+
+        kv = nn.Conv(emb_dim + out_shape, (1, 1), padding="VALID", use_bias=False,
+                     dtype=cfg.dtype, name=name + "key_value_conv")(x)
+        kvp = jnp.pad(kv, ((0, 0), (halo_size, halo_size), (halo_size, halo_size), (0, 0)))
+        # extract kv_kernel x kv_kernel patches at stride block_size (TF
+        # extract_patches (kh, kw, c) channel order) via static shifted slices
+        hh_k, ww_k = hh // block_size, ww // block_size
+        rows = []
+        for di in range(kv_kernel):
+            cols = []
+            for dj in range(kv_kernel):
+                sl = kvp[:, di : di + (hh_k - 1) * block_size + 1 : block_size,
+                         dj : dj + (ww_k - 1) * block_size + 1 : block_size, :]
+                cols.append(sl)
+            rows.append(jnp.stack(cols, axis=3))  # (B, hh_k, ww_k, kv_kernel, C)
+        patches = jnp.stack(rows, axis=3)  # (B, hh_k, ww_k, kv_kernel, kv_kernel, C)
+        cc_k = (emb_dim + out_shape) // num_heads
+        patches = patches.reshape(b, hh_k, ww_k, kv_kernel, kv_kernel, num_heads, cc_k)
+        patches = jnp.transpose(patches, (0, 5, 1, 2, 3, 4, 6))
+        patches = patches.reshape(b, num_heads, hh_k, ww_k, kv_kernel * kv_kernel, cc_k)
+        k, v = jnp.split(patches, [emb_dim // num_heads], axis=-1)
+
+        attn = jnp.einsum("bhxyqd,bhxykd->bhxyqk", attn_q, k)
+        pos = RelativePositionalEmbedding(
+            cc_q, kv_kernel, kv_kernel, True, name=name + "pos_emb"
+        )(pos_q)
+        pos = pos.reshape(b, num_heads, hh_q, ww_q, query_block * query_block, kv_kernel * kv_kernel)
+        attn = attn + pos.astype(attn.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhxyqk,bhxykd->bhxyqd", attn, v)
+        vv_dim = out_shape // num_heads
+        out = out.reshape(b, num_heads, hh_q, ww_q, query_block, query_block, vv_dim)
+        out = jnp.transpose(out, (0, 2, 4, 3, 5, 1, 6))
+        out = out.reshape(b, hh_q * query_block, ww_q * query_block, num_heads * vv_dim)
+        if avg_pool_down:
+            out = nn.avg_pool(out, (2, 2), strides=(2, 2), padding="VALID")
+        if out_weight:
+            out = nn.Dense(out_shape, use_bias=out_bias, dtype=cfg.dtype, name=name + "output")(out)
+        return out
+
+    def _cot_attention(self, x, stride, params, act, name, training):
+        """cotnet cot_attention (cotnet.py:37-112): contextual key embedding,
+        learned local-conv weights, and a 2-way SE-softmax fusion."""
+        from ..ops.norms import GroupNorm
+
+        cfg = self.cfg
+        kernel_size = params.get("kernel_size", 3)
+        downsample_first = params.get("downsample_first", True)
+        if downsample_first and stride > 1:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            x = nn.avg_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+        filters = x.shape[-1]
+        randix, reduction = 2, 8
+        key = self._conv_nb(x, filters, kernel_size, 1, name + "key_", groups=4)
+        key = self._bn_act(key, act, name + "key_", training=training)
+
+        qk = jnp.concatenate([x, key], axis=-1)
+        b, height, width, _ = qk.shape
+        ww = self._conv_nb(qk, filters // randix, 1, 1, name + "embed_ww_1_", padding="VALID")
+        ww = self._bn_act(ww, act, name + "embed_ww_1_", training=training)
+        embed_filters = kernel_size * kernel_size * filters // reduction
+        ww = nn.Conv(embed_filters, (1, 1), use_bias=True, dtype=cfg.dtype, name=name + "embed_ww_2_conv")(ww)
+        ww = GroupNorm(groups=filters // reduction, epsilon=1e-5, name=name + "embed_ww_group_norm")(ww)
+        ww = ww.reshape(b, height, width, filters // reduction, kernel_size * kernel_size)
+        ww = jnp.transpose(ww, (0, 1, 2, 4, 3))[:, :, :, :, None, :]  # (B,H,W,k2,1,C/r)
+
+        embed = self._conv_nb(x, filters, 1, 1, name + "embed_1_", padding="VALID")
+        embed = self._bn_act(embed, None, name + "embed_1_", training=training)
+        # extract k x k patches stride 1, (kh, kw, c) channel order
+        p = kernel_size // 2
+        ep = jnp.pad(embed, ((0, 0), (p, p), (p, p), (0, 0)))
+        patches = jnp.stack(
+            [
+                jnp.stack([ep[:, di : di + height, dj : dj + width, :] for dj in range(kernel_size)], axis=3)
+                for di in range(kernel_size)
+            ],
+            axis=3,
+        )  # (B,H,W,kh,kw,C)
+        patches = patches.reshape(b, height, width, kernel_size * kernel_size, reduction, filters // reduction)
+
+        out = jnp.sum(patches * ww.astype(patches.dtype), axis=-3)  # over k*k
+        out = out.reshape(b, height, width, filters)
+        out = self._bn_act(out, "swish", name + "embed_2_", training=training)
+
+        attn = jnp.mean((out + key).astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+        se_filters = max(filters * randix // 4, 32)
+        attn = nn.Conv(se_filters, (1, 1), use_bias=True, dtype=cfg.dtype, name=name + "attn_se_1_conv")(attn)
+        attn = self._bn_act(attn, act, name + "attn_se_", training=training)
+        attn = nn.Conv(filters * randix, (1, 1), use_bias=True, dtype=cfg.dtype, name=name + "attn_se_2_conv")(attn)
+        attn = attn.reshape(b, 1, 1, filters, randix)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+
+        value = jnp.concatenate([out[..., None], key[..., None]], axis=-1)
+        output = jnp.sum(value * attn, axis=-1)
+        if not downsample_first and stride > 1:
+            output = jnp.pad(output, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            output = nn.avg_pool(output, (3, 3), strides=(2, 2), padding="VALID")
+        return output
+
     def _attn_block(self, x, filters, stride, stack_cfg, name, training):
         cfg = self.cfg
         attn_type = stack_cfg["attn_type"]
         act = cfg.activation
         need_downsample = False
-        if attn_type == "sa":
+        if attn_type == "bot":
+            params = dict(stack_cfg["attn_params"] or {"num_heads": 4})
+            x = self._bot_mhsa(x, filters, params, name + "mhsa_", training)
+            need_downsample = True
+        elif attn_type == "halo":
+            params = dict(stack_cfg["attn_params"] or {"num_heads": 8, "block_size": 4, "halo_size": 1})
+            halo_expansion = params.pop("halo_expansion", 1)
+            out_shape = int(filters * halo_expansion)
+            # halo handles its own stride; the block-level halo pad is applied
+            # by the caller (aot_block :156-164) when needed
+            x = self._halo_attention(x, out_shape, stride, params, name + "halo", training)
+        elif attn_type == "cot":
+            params = {"kernel_size": 3, "downsample_first": True, **(stack_cfg["attn_params"] or {})}
+            attn_act = params.pop("activation", act)
+            params.pop("groups", None)
+            x = self._cot_attention(x, stride, params, attn_act, name + "cot_", training)
+        elif attn_type == "sa":
             params = {"kernel_size": 3, "groups": 2, **(stack_cfg["attn_params"] or {})}
+            attn_act = params.pop("activation", act)  # (aotnet.py:55 attn_act)
             x = self._split_attention(
-                x, filters, params["kernel_size"], stride, params["groups"], act,
+                x, filters, params["kernel_size"], stride, params["groups"], attn_act,
                 name + "sa_", training,
             )
         elif attn_type is None:
@@ -253,10 +484,13 @@ class AotNet(nn.Module):
                 name = sname + f"block{bid + 1}_"
                 cur_stride = stride if bid == strides_block_id else 1
                 conv_shortcut = bid == 0 and (stride != 1 or x.shape[-1] != out_channel)
+                # per-BLOCK values: attn_types may nest again inside a stack,
+                # e.g. botnet's (None, 'bot') (aot_stack :214-233)
+                block_cfg = {k: _per_stack(v, bid) for k, v in stack_cfg.items()}
                 x = self._aot_block(
                     x, out_channel, cur_stride, conv_shortcut,
                     _per_stack(ratio, bid) if isinstance(ratio, (list, tuple)) else ratio,
-                    dcr[sid][bid], stack_cfg, name, training,
+                    dcr[sid][bid], block_cfg, name, training,
                 )
 
         if cfg.preact:
@@ -279,6 +513,18 @@ class AotNet(nn.Module):
     def _aot_block(self, x, filters, stride, conv_shortcut, ratio, drop_rate, stack_cfg, name, training):
         cfg = self.cfg
         act = cfg.activation
+
+        # halo gap pad: center-pad H/W to the halo block multiple (:156-164)
+        if stack_cfg.get("attn_type") == "halo":
+            bs = (stack_cfg.get("attn_params") or {}).get("block_size", 4)
+            h, w = x.shape[1], x.shape[2]
+            gap_h = (bs - h % bs) % bs
+            gap_w = (bs - w % bs) % bs
+            if gap_h or gap_w:
+                x = jnp.pad(
+                    x,
+                    ((0, 0), (gap_h // 2, gap_h - gap_h // 2), (gap_w // 2, gap_w - gap_w // 2), (0, 0)),
+                )
 
         if cfg.preact:
             pre = self._bn_act(x, act, name + "preact_", training=training)
@@ -457,3 +703,113 @@ def ResNeXt101W():
 @register_model
 def ResNeXt101W_64():
     return _resnext("ResNeXt101W_64", (3, 4, 23, 3), hidden_ratio=1.0, groups=64)
+
+
+# ---------------------------------------------------------------------------
+# BotNet (kecam botnet/botnet.py): aotnet with 'bot' MHSA blocks
+# ---------------------------------------------------------------------------
+
+
+@register_model
+def BotNet50():
+    return AotNet, AotNetConfig(
+        name="BotNet50", num_blocks=(3, 4, 6, 3),
+        attn_types=(None, None, None, "bot"),
+        attn_params={"num_heads": 4},
+        strides=(1, 2, 2, 1),  # BotNet ctor: strides=1 for the last stack
+    )
+
+
+@register_model
+def BotNet26T():
+    return AotNet, AotNetConfig(
+        name="BotNet26T", num_blocks=(2, 2, 2, 2), input_size=(256, 256),
+        attn_types=(None, None, (None, "bot"), "bot"),
+        attn_params={"num_heads": 4, "out_weight": False},
+        stem_type="tiered",
+    )
+
+
+@register_model
+def BotNextECA26T():
+    return AotNet, AotNetConfig(
+        name="BotNextECA26T", num_blocks=(2, 2, 2, 2), input_size=(256, 256),
+        attn_types=(None, None, (None, "bot"), "bot"),
+        attn_params={"num_heads": 4, "key_dim": 16, "out_weight": False},
+        use_eca=True, group_size=16, stem_type="tiered", activation="swish",
+    )
+
+
+@register_model
+def BotNetSE33T():
+    return AotNet, AotNetConfig(
+        name="BotNetSE33T", num_blocks=(2, 3, 3, 2), input_size=(256, 256),
+        out_channels=(256, 512, 1024, 1536),
+        hidden_channel_ratio=(0.25, 0.25, 0.25, 1 / 3),
+        attn_types=(None, (None, None, "bot"), (None, None, "bot"), "bot"),
+        attn_params={"num_heads": 4, "out_weight": False},
+        se_ratio=0.25, stem_type="tiered", stem_last_strides=2,
+        stem_downsample=False, activation="swish",
+    )
+
+
+# HaloNet (kecam halonet/halonet.py): aotnet with 'halo' attention
+@register_model
+def HaloNet26T():
+    return AotNet, AotNetConfig(
+        name="HaloNet26T", num_blocks=(2, 2, 2, 2), input_size=(256, 256),
+        attn_types=(None, None, (None, "halo"), "halo"),
+        attn_params=(
+            None, None,
+            (None, {"block_size": 8, "halo_size": 2, "num_heads": 8, "out_weight": False}),
+            {"block_size": 8, "halo_size": 2, "num_heads": 8, "out_weight": False},
+        ),
+        stem_type="tiered",
+    )
+
+
+@register_model
+def HaloNextECA26T():
+    return AotNet, AotNetConfig(
+        name="HaloNextECA26T", num_blocks=(2, 2, 2, 2), input_size=(256, 256),
+        attn_types=(None, None, (None, "halo"), "halo"),
+        attn_params=(
+            None, None,
+            (None, {"block_size": 8, "halo_size": 2, "num_heads": 8, "key_dim": 16, "out_weight": False}),
+            {"block_size": 8, "halo_size": 2, "num_heads": 8, "key_dim": 16, "out_weight": False},
+        ),
+        use_eca=True, group_size=16, stem_type="tiered", activation="swish",
+    )
+
+
+# CotNet (kecam cotnet/cotnet.py): aotnet with 'cot' contextual attention
+@register_model
+def CotNet50():
+    return AotNet, AotNetConfig(
+        name="CotNet50", num_blocks=(3, 4, 6, 3),
+        attn_types="cot", bn_after_attn=False, shortcut_type="avg",
+    )
+
+
+@register_model
+def CotNet101():
+    return AotNet, AotNetConfig(
+        name="CotNet101", num_blocks=(3, 4, 23, 3),
+        attn_types="cot", bn_after_attn=False, shortcut_type="avg",
+    )
+
+
+@register_model
+def CotNetSE50D():
+    return AotNet, AotNetConfig(
+        name="CotNetSE50D", num_blocks=(3, 4, 6, 3), strides=(2, 2, 2, 2),
+        attn_types=("sa", "sa", ("cot", "sa") * 3, "cot"),
+        attn_params=(
+            {"downsample_first": True, "groups": 1, "activation": "swish"},
+            {"downsample_first": True, "groups": 1, "activation": "swish"},
+            ({}, {"downsample_first": True, "groups": 1, "activation": "swish"}) * 3,
+            {},
+        ),
+        bn_after_attn=False, shortcut_type="avg",
+        stem_type="deep", stem_width=64, stem_downsample=False,
+    )
