@@ -130,3 +130,19 @@ def test_parity_cotnet50(ref_path, tmp_path):
 
     ref = CotNet50(input_shape=(96, 96, 3), pretrained=None, num_classes=5)
     _check(ref, "CotNet50", tmp_path, input_size=(96, 96))
+
+
+@pytest.mark.parity
+def test_parity_coatnet0(ref_path, tmp_path):
+    from keras_cv_attention_models.coatnet import CoAtNet0
+
+    ref = CoAtNet0(input_shape=(96, 96, 3), pretrained=None, num_classes=5)
+    _check(ref, "CoAtNet0", tmp_path, input_size=(96, 96))
+
+
+@pytest.mark.parity
+def test_parity_wavemlp_t(ref_path, tmp_path):
+    from keras_cv_attention_models.mlp_family import WaveMLP_T
+
+    ref = WaveMLP_T(input_shape=(64, 64, 3), pretrained=None, num_classes=5)
+    _check(ref, "WaveMLP_T", tmp_path, input_size=(64, 64))

@@ -16,6 +16,7 @@ import dataclasses
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import ChannelAffine, DropPath, LayerNorm, apply_activation
@@ -23,6 +24,8 @@ from .base import ModelConfig, preprocess_input
 from .registry import register_model
 
 Dtype = Any
+
+from .base import IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD  # noqa: E402
 
 TF_MEAN = (128 / 255,) * 3  # 'tf' rescale: x*255/128 - 1
 TF_STD = (128 / 255,) * 3
@@ -219,3 +222,131 @@ def GMLPS16():
 @register_model
 def GMLPB16():
     return _gmlp("GMLPB16", 512)
+
+
+# ---------------------------------------------------------------------------
+# WaveMLP (kecam mlp_family/wave_mlp.py): phase-aware token mixing
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveMLPConfig(ModelConfig):
+    num_blocks: Tuple[int, ...] = (2, 2, 4, 2)
+    out_channels: Tuple[int, ...] = (64, 128, 320, 512)
+    mlp_ratios: Tuple[int, ...] = (4, 4, 4, 4)
+    use_group_norm: bool = False
+    qkv_bias: bool = False
+    activation: str = "gelu"
+    drop_connect_rate: float = 0.0
+    drop_rate: float = 0.0
+    classifier_activation: Optional[str] = "softmax"
+
+
+class WaveMLP(nn.Module):
+    cfg: WaveMLPConfig
+
+    def _norm(self, x, name, training):
+        from ..ops import BatchNorm, GroupNorm
+
+        if self.cfg.use_group_norm:
+            return GroupNorm(groups=1, epsilon=1e-5, name=name + "group_norm")(x)
+        return BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.cfg.dtype, name=name + "bn")(x, training=training)
+
+    def _conv(self, x, f, k, s, name, use_bias=False, groups=1):
+        kh, kw = (k, k) if isinstance(k, int) else k
+        if kh > 1 or kw > 1:
+            x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)))
+        return nn.Conv(f, (kh, kw), strides=(s, s), padding="VALID", use_bias=use_bias,
+                       feature_group_count=groups, dtype=self.cfg.dtype, name=name + "conv")(x)
+
+    def _token_mixing(self, x, name, training):
+        """phase_aware_token_mixing (wave_mlp.py:37-76)."""
+        cfg = self.cfg
+        c = x.shape[-1]
+        th = self._conv(x, c, 1, 1, name + "theta_h_", use_bias=True)
+        th = self._norm(th, name + "theta_h_", training)
+        th = apply_activation(th, "relu")
+        h = self._conv(x, c, 1, 1, name + "height_", use_bias=cfg.qkv_bias)
+        h = jnp.concatenate([h * jnp.cos(th), h * jnp.sin(th)], axis=-1)
+        h = self._conv(h, c, (1, 7), 1, name + "height_down_", groups=c)
+
+        tw = self._conv(x, c, 1, 1, name + "theta_w_", use_bias=True)
+        tw = self._norm(tw, name + "theta_w_", training)
+        tw = apply_activation(tw, "relu")
+        w = self._conv(x, c, 1, 1, name + "width_", use_bias=cfg.qkv_bias)
+        w = jnp.concatenate([w * jnp.cos(tw), w * jnp.sin(tw)], axis=-1)
+        w = self._conv(w, c, (7, 1), 1, name + "width_down_", groups=c)
+
+        ch = self._conv(x, c, 1, 1, name + "channel_", use_bias=cfg.qkv_bias)
+
+        combined = h + w + ch
+        a = jnp.mean(combined.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+        a = nn.Conv(c // 4, (1, 1), use_bias=True, dtype=cfg.dtype, name=name + "reweight_Conv_0")(a)
+        a = apply_activation(a, cfg.activation)
+        a = nn.Conv(c * 3, (1, 1), use_bias=True, dtype=cfg.dtype, name=name + "reweight_Conv_1")(a)
+        a = a.reshape(a.shape[0], 1, 1, c, 3)
+        a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = h * a[..., 0] + w * a[..., 1] + ch * a[..., 2]
+        return self._conv(attn, c, 1, 1, name + "out_", use_bias=True)
+
+    @nn.compact
+    def __call__(self, x, training: bool = False, features_only: bool = False):
+        cfg = self.cfg
+        x = preprocess_input(x, cfg)
+        x = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        x = nn.Conv(cfg.out_channels[0], (7, 7), strides=(4, 4), padding="VALID",
+                    use_bias=True, dtype=cfg.dtype, name="stem_conv")(x)
+        x = self._norm(x, "stem_", training)
+
+        total = sum(cfg.num_blocks)
+        gid = 0
+        for sid, (nb, out_c, ratio) in enumerate(zip(cfg.num_blocks, cfg.out_channels, cfg.mlp_ratios)):
+            sname = f"stack{sid + 1}_"
+            if sid > 0:
+                x = self._conv(x, out_c, 3, 2, sname + "down_sample_", use_bias=True)
+                x = self._norm(x, sname + "down_sample_", training)
+            for bid in range(nb):
+                name = sname + f"block{bid + 1}_"
+                rate = cfg.drop_connect_rate * gid / total
+                gid += 1
+                attn = self._norm(x, name + "attn_", training)
+                attn = self._token_mixing(attn, name + "attn_", training)
+                attn = DropPath(rate, name=name + "attn_drop")(attn, training=training)
+                x = x + attn
+                mlp = self._norm(x, name + "mlp_", training)
+                mlp = nn.Conv(int(out_c * ratio), (1, 1), use_bias=True, dtype=cfg.dtype, name=name + "mlp_Conv_0")(mlp)
+                mlp = apply_activation(mlp, cfg.activation)
+                mlp = nn.Conv(out_c, (1, 1), use_bias=True, dtype=cfg.dtype, name=name + "mlp_Conv_1")(mlp)
+                mlp = DropPath(rate, name=name + "mlp_drop")(mlp, training=training)
+                x = x + mlp
+
+        if features_only:
+            return x
+        x = self._norm(x, "output_", training)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        if cfg.nb_classes <= 0:
+            return x
+        x = nn.Dropout(cfg.drop_rate, deterministic=not training)(x)
+        x = nn.Dense(cfg.nb_classes, dtype=jnp.float32, name="predictions")(x)
+        if cfg.classifier_activation:
+            x = apply_activation(x, cfg.classifier_activation)
+        return x
+
+
+@register_model
+def WaveMLP_T():
+    return WaveMLP, WaveMLPConfig(name="WaveMLP_T")
+
+
+@register_model
+def WaveMLP_S():
+    return WaveMLP, WaveMLPConfig(
+        name="WaveMLP_S", num_blocks=(2, 3, 10, 3), use_group_norm=True,
+    )
+
+
+@register_model
+def WaveMLP_M():
+    return WaveMLP, WaveMLPConfig(
+        name="WaveMLP_M", num_blocks=(3, 4, 18, 3), use_group_norm=True,
+    )

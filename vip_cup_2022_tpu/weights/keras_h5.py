@@ -271,7 +271,7 @@ def map_vit(weights: Dict[str, np.ndarray], model_name: str):
 
 
 # additional kecam-family prefixes routed to the generic mapper
-for _prefix in ("mobilenet", "lcnet", "fbnet", "tinynet", "beit", "uniformer",
+for _prefix in ("mobilenet", "lcnet", "fbnet", "tinynet", "beit", "uniformer", "wavemlp",
                 "davit", "coatnet", "edgenext", "efficientformer", "levit",
                 "mobilevit", "nat", "volo", "halonet", "botnet", "cotnet",
                 "cmt", "coat"):
