@@ -146,3 +146,11 @@ def test_parity_wavemlp_t(ref_path, tmp_path):
 
     ref = WaveMLP_T(input_shape=(64, 64, 3), pretrained=None, num_classes=5)
     _check(ref, "WaveMLP_T", tmp_path, input_size=(64, 64))
+
+
+@pytest.mark.parity
+def test_parity_edgenext_xx_small(ref_path, tmp_path):
+    from keras_cv_attention_models.edgenext import EdgeNeXt_XX_Small
+
+    ref = EdgeNeXt_XX_Small(input_shape=(96, 96, 3), pretrained=None, num_classes=5)
+    _check(ref, "EdgeNeXt_XX_Small", tmp_path, input_size=(96, 96))
