@@ -7,6 +7,7 @@ from . import beit  # noqa: F401
 from . import coatnet  # noqa: F401
 from . import convnext  # noqa: F401
 from . import edgenext  # noqa: F401
+from . import efficientformer  # noqa: F401
 from . import efficientnet  # noqa: F401
 from . import gcvit  # noqa: F401
 from . import hornet  # noqa: F401
