@@ -179,3 +179,36 @@ def test_parity_efficientformer_l1(ref_path, tmp_path):
     assert not missing, f"unmatched params: {missing[:10]}"
     y = np.asarray(m.apply(merged, jnp.asarray(x)))
     np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_davit_t(ref_path, tmp_path):
+    from keras_cv_attention_models.davit import DaViT_T
+
+    ref = DaViT_T(input_shape=(96, 96, 3), pretrained=None, num_classes=5)
+    _check(ref, "DaViT_T", tmp_path, input_size=(96, 96))
+
+
+@pytest.mark.parity
+def test_parity_levit128s(ref_path, tmp_path):
+    from keras_cv_attention_models.levit import LeViT128S
+
+    ref = LeViT128S(input_shape=(128, 128, 3), pretrained=None, num_classes=5)
+    h5 = os.path.join(tmp_path, "lv.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(2, 128, 128, 3)).astype(np.float32)
+    outs = ref(x, training=False)
+    y_ref = ((outs[0] + outs[1]) / 2.0).numpy()
+
+    from vip_cup_2022_tpu.models import create_model, transfer_weights
+    from vip_cup_2022_tpu.weights.keras_h5 import convert_keras_h5
+
+    m, v, _ = create_model("LeViT128S", input_size=(128, 128), nb_classes=5, mean=None, std=None)
+    loaded = convert_keras_h5(h5, "LeViT128S")
+    merged = transfer_weights(loaded, v)
+    from flax.traverse_util import flatten_dict
+
+    missing = [k for k in flatten_dict(v["params"]) if k not in set(flatten_dict(loaded["params"]))]
+    assert not missing, f"unmatched params: {missing[:10]}"
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)

@@ -6,11 +6,13 @@ from . import aotnet  # noqa: F401
 from . import beit  # noqa: F401
 from . import coatnet  # noqa: F401
 from . import convnext  # noqa: F401
+from . import davit  # noqa: F401
 from . import edgenext  # noqa: F401
 from . import efficientformer  # noqa: F401
 from . import efficientnet  # noqa: F401
 from . import gcvit  # noqa: F401
 from . import hornet  # noqa: F401
+from . import levit  # noqa: F401
 from . import mlp_family  # noqa: F401
 from . import mobilenetv3  # noqa: F401
 from . import nfnets  # noqa: F401
