@@ -212,3 +212,11 @@ def test_parity_levit128s(ref_path, tmp_path):
     assert not missing, f"unmatched params: {missing[:10]}"
     y = np.asarray(m.apply(merged, jnp.asarray(x)))
     np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_mobilevit_xxs(ref_path, tmp_path):
+    from keras_cv_attention_models.mobilevit import MobileViT_XXS
+
+    ref = MobileViT_XXS(input_shape=(128, 128, 3), pretrained=None, num_classes=5)
+    _check(ref, "MobileViT_XXS", tmp_path, input_size=(128, 128))
