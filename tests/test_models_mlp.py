@@ -220,3 +220,29 @@ def test_parity_mobilevit_xxs(ref_path, tmp_path):
 
     ref = MobileViT_XXS(input_shape=(128, 128, 3), pretrained=None, num_classes=5)
     _check(ref, "MobileViT_XXS", tmp_path, input_size=(128, 128))
+
+
+@pytest.mark.parity
+def test_parity_poolformer_s12(ref_path, tmp_path):
+    from tfimm.architectures.poolformer import PoolFormer as RefPF
+    from tfimm.architectures.poolformer import PoolFormerConfig as RefCfg
+
+    cfg = RefCfg(name="poolformer_s12", nb_classes=5, input_size=(96, 96),
+                 embed_dim=(64, 128, 320, 512), nb_blocks=(2, 2, 6, 2))
+    ref = RefPF(cfg)
+    ref(ref.dummy_inputs)
+    _check(ref, "poolformer_s12", tmp_path, input_size=(96, 96),
+           classifier_activation=None)
+
+
+@pytest.mark.parity
+def test_parity_convmixer(ref_path, tmp_path):
+    from tfimm.architectures.convmixer import ConvMixer as RefCM
+    from tfimm.architectures.convmixer import ConvMixerConfig as RefCfg
+
+    cfg = RefCfg(name="convmixer_test", nb_classes=5, input_size=(96, 96),
+                 embed_dim=256, depth=4, patch_size=7, kernel_size=7, act_layer="relu")
+    ref = RefCM(cfg)
+    ref(ref.dummy_inputs)
+    _check(ref, "convmixer_768_32", tmp_path, input_size=(96, 96),
+           embed_dim=256, depth=4, classifier_activation=None)

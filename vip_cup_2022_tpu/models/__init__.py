@@ -17,6 +17,7 @@ from . import mlp_family  # noqa: F401
 from . import mobilenetv3  # noqa: F401
 from . import mobilevit  # noqa: F401
 from . import nfnets  # noqa: F401
+from . import poolformer  # noqa: F401
 from . import vit  # noqa: F401
 from . import resnet_rs  # noqa: F401
 from . import uniformer  # noqa: F401

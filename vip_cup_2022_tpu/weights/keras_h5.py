@@ -276,3 +276,39 @@ for _prefix in ("mobilenet", "lcnet", "fbnet", "tinynet", "beit", "uniformer", "
                 "mobilevit", "nat", "volo", "halonet", "botnet", "cotnet",
                 "cmt", "coat"):
     _WEIGHT_MAPPERS[_prefix] = map_kecam
+
+
+# ---------------------------------------------------------------------------
+# tfimm poolformer / convmixer (subclassed; slash-nested layer names mapped to
+# underscore-joined flax module names)
+# ---------------------------------------------------------------------------
+
+_TFIMM_FLAT_RE = re.compile(r"^(?:.*?)/((?:poolformer|convmixer)[^/]*)/(.*)$")
+
+
+@register_weight_mapper("poolformer", "convmixer")
+def map_tfimm_flat(weights: Dict[str, np.ndarray], model_name: str):
+    params: Dict = {}
+    batch_stats: Dict = {}
+    for key, value in weights.items():
+        m = _TFIMM_FLAT_RE.match(key)
+        path = m.group(2) if m else key
+        # convmixer stems embed the model name inside the layer name again
+        m2 = _TFIMM_FLAT_RE.match(path)
+        if m2:
+            path = m2.group(2)
+        parts = path.split("/")
+        wname = parts[-1]
+        if wname == "depthwise_kernel":
+            value = np.transpose(value, (0, 1, 3, 2))
+            wname = "kernel"
+        if wname.startswith("layer_scale"):
+            # param lives directly on the block layer -> flax root leaf
+            _set(params, ("_".join(parts),), value)
+            continue
+        target = batch_stats if wname.startswith("moving_") else params
+        _set(target, ("_".join(parts[:-1]), wname), value)
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
