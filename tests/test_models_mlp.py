@@ -246,3 +246,11 @@ def test_parity_convmixer(ref_path, tmp_path):
     ref(ref.dummy_inputs)
     _check(ref, "convmixer_768_32", tmp_path, input_size=(96, 96),
            embed_dim=256, depth=4, classifier_activation=None)
+
+
+@pytest.mark.parity
+def test_parity_nat_mini(ref_path, tmp_path):
+    from keras_cv_attention_models.nat import NAT_Mini
+
+    ref = NAT_Mini(input_shape=(128, 128, 3), pretrained=None, num_classes=5)
+    _check(ref, "NAT_Mini", tmp_path, input_size=(128, 128), jit_ref=True)

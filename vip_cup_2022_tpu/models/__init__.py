@@ -16,6 +16,7 @@ from . import levit  # noqa: F401
 from . import mlp_family  # noqa: F401
 from . import mobilenetv3  # noqa: F401
 from . import mobilevit  # noqa: F401
+from . import nat  # noqa: F401
 from . import nfnets  # noqa: F401
 from . import poolformer  # noqa: F401
 from . import vit  # noqa: F401

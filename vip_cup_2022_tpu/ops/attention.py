@@ -121,6 +121,10 @@ class MultiHeadSelfAttention(nn.Module):
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        # recorded for attention-rollout visualization (kecam visualizing
+        # plot_attention_score_maps parity); retrieve via
+        # module.apply(..., mutable=['intermediates'])
+        self.sow("intermediates", "attention_scores", attn)
         attn = nn.Dropout(self.attn_drop, deterministic=not training)(attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
