@@ -254,3 +254,11 @@ def test_parity_nat_mini(ref_path, tmp_path):
 
     ref = NAT_Mini(input_shape=(128, 128, 3), pretrained=None, num_classes=5)
     _check(ref, "NAT_Mini", tmp_path, input_size=(128, 128), jit_ref=True)
+
+
+@pytest.mark.parity
+def test_parity_cmt_tiny(ref_path, tmp_path):
+    from keras_cv_attention_models.cmt import CMTTiny
+
+    ref = CMTTiny(input_shape=(160, 160, 3), pretrained=None, num_classes=5)
+    _check(ref, "CMTTiny", tmp_path, input_size=(160, 160))

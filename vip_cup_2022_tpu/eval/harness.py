@@ -54,3 +54,41 @@ def parity_diff(ours, reference, atol: float = 1e-4) -> Dict[str, float]:
         "n_exceed_atol": int((diff > atol).sum()),
         "n": int(diff.size),
     }
+
+
+def evaluation(
+    module,
+    variables,
+    paths,
+    labels,
+    nb_classes: int,
+    batch_size: int = 64,
+    target_shape=(224, 224),
+    central_crop: float = 0.95,
+    resize_method: str = "bilinear",
+):
+    """Top-1/top-5 over an image list (kecam imagenet/eval_func.py:70-116
+    role): central-crop eval pipeline + jitted forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.train_pipeline import EvalLoader
+    from .metrics import top_k_accuracy
+
+    loader = EvalLoader(
+        paths, labels, nb_classes, batch_size, target_shape,
+        central_crop=central_crop, resize_method=resize_method,
+    )
+    fwd = jax.jit(lambda v, x: module.apply(v, x.astype(jnp.float32) / 255.0))
+    probs, trues = [], []
+    for images, onehot in loader:
+        out = fwd(variables, images)
+        probs.append(np.asarray(out)[: len(onehot)])
+        trues.append(onehot.argmax(-1))
+    probs = np.concatenate(probs)
+    trues = np.concatenate(trues)
+    return {
+        "top1": float(np.mean(probs.argmax(-1) == trues)),
+        "top5": top_k_accuracy(trues, probs, k=5),
+        "n": int(len(trues)),
+    }

@@ -4,6 +4,7 @@ registry serves the same role)."""
 
 from . import aotnet  # noqa: F401
 from . import beit  # noqa: F401
+from . import cmt  # noqa: F401
 from . import coatnet  # noqa: F401
 from . import convnext  # noqa: F401
 from . import davit  # noqa: F401
