@@ -1,7 +1,8 @@
-"""MLP family (Mixer/ResMLP/gMLP): h5-conversion parity vs kecam."""
+"""MLP family (Mixer/ResMLP/gMLP) + further kecam families: h5-conversion parity."""
 import os
 import sys
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -262,3 +263,43 @@ def test_parity_cmt_tiny(ref_path, tmp_path):
 
     ref = CMTTiny(input_shape=(160, 160, 3), pretrained=None, num_classes=5)
     _check(ref, "CMTTiny", tmp_path, input_size=(160, 160))
+
+
+@pytest.mark.parity
+def test_parity_outlook_attention_op(ref_path, tmp_path):
+    """Op-level parity for volo outlook attention via a 1-layer keras model."""
+    import tensorflow as tf
+    from keras_cv_attention_models.volo.volo import outlook_attention
+
+    inp = tf.keras.Input((28, 28, 32))
+    out = outlook_attention(inp, 32, num_heads=4, name="oa_")
+    ref = tf.keras.Model(inp, out)
+    h5 = os.path.join(tmp_path, "oa.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(2, 28, 28, 32)).astype(np.float32)
+    # 6-D softmax has no eager CPU kernel; compile the reference with XLA
+    y_ref = tf.function(lambda v: ref(v, training=False), jit_compile=True)(x).numpy()
+
+    import flax.linen as nn_flax
+
+    from vip_cup_2022_tpu.models.aotnet import AotNet, AotNetConfig
+
+    class OAModule(AotNet):
+        """Expose the outlook-attention op standalone with matching names."""
+
+        @nn_flax.compact
+        def __call__(self, x):
+            return self._outlook_attention(
+                x, 32, {"num_heads": 4, "kernel_size": 3, "strides": 2}, "oa_", False
+            )
+
+    m = OAModule(AotNetConfig())
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    from vip_cup_2022_tpu.weights.keras_h5 import convert_keras_h5
+    from vip_cup_2022_tpu.models import transfer_weights
+
+    loaded = convert_keras_h5(h5, "aotnet_oa")
+    merged = transfer_weights(loaded, v)
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
