@@ -94,3 +94,83 @@ def test_decode_predictions_end_to_end():
     preds[10, 4 + 1] = 0.95
     boxes, labels, scores = dp(preds, score_threshold=0.5)
     assert len(boxes) == 1 and labels[0] == 1 and scores[0] > 0.9
+
+
+@pytest.mark.parity
+def test_parity_yolox(reference_models_path, tmp_path):
+    import os
+    import sys
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import _tfa_stub
+
+    _tfa_stub.install()
+    if reference_models_path not in sys.path:
+        sys.path.insert(0, reference_models_path)
+    from keras_cv_attention_models.yolox.yolox import YOLOX as RefYOLOX
+
+    from vip_cup_2022_tpu.models import create_model, transfer_weights
+    from vip_cup_2022_tpu.weights.keras_h5 import convert_keras_h5
+
+    ref = RefYOLOX(
+        depth_mul=0.33, width_mul=0.25, input_shape=(128, 128, 3),
+        num_classes=5, pretrained=None, model_name="yolox_test",
+    )
+    h5 = os.path.join(tmp_path, "yolox.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(2, 128, 128, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    m, v, _ = create_model(
+        "YOLOXS", input_size=(128, 128), nb_classes=5, width_mul=0.25,
+    )
+    loaded = convert_keras_h5(h5, "yolox_s")
+    merged = transfer_weights(loaded, v)
+
+    from flax.traverse_util import flatten_dict
+
+    src = set(flatten_dict(loaded["params"]))
+    dst = flatten_dict(v["params"])
+    missing = [k for k in dst if k not in src]
+    assert not missing, f"unmatched params: {missing[:10]}"
+
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_yolox_nano_depthwise(reference_models_path, tmp_path):
+    import os
+    import sys
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import _tfa_stub
+
+    _tfa_stub.install()
+    if reference_models_path not in sys.path:
+        sys.path.insert(0, reference_models_path)
+    from keras_cv_attention_models.yolox.yolox import YOLOX as RefYOLOX
+
+    from vip_cup_2022_tpu.models import create_model, transfer_weights
+    from vip_cup_2022_tpu.weights.keras_h5 import convert_keras_h5
+
+    ref = RefYOLOX(
+        depth_mul=0.33, width_mul=0.25, use_depthwise_conv=True,
+        input_shape=(128, 128, 3), num_classes=5, pretrained=None,
+        model_name="yolox_nano_test",
+    )
+    h5 = os.path.join(tmp_path, "yolox_nano.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(2, 128, 128, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    m, v, _ = create_model("YOLOXNano", input_size=(128, 128), nb_classes=5)
+    loaded = convert_keras_h5(h5, "yolox_nano")
+    merged = transfer_weights(loaded, v)
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)

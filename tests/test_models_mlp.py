@@ -303,3 +303,53 @@ def test_parity_outlook_attention_op(ref_path, tmp_path):
     merged = transfer_weights(loaded, v)
     y = np.asarray(m.apply(merged, jnp.asarray(x)))
     np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_volo(ref_path, tmp_path):
+    from keras_cv_attention_models.volo.volo import VOLO as RefVOLO
+
+    ref = RefVOLO(
+        num_blocks=[2, 2], embed_dims=[64, 128], num_heads=[2, 4],
+        mlp_ratios=[3, 3], stem_hidden_dim=32, input_shape=(112, 112, 3),
+        num_classes=7, pretrained=None, model_name="volo_test",
+    )
+    _check(
+        ref, "VOLO_d1", tmp_path, input_size=(112, 112), nb_classes=7,
+        jit_ref=True, num_blocks=(2, 2), embed_dims=(64, 128),
+        num_heads=(2, 4), stem_hidden_dim=32,
+    )
+
+
+@pytest.mark.parity
+def test_parity_coat(ref_path, tmp_path):
+    from keras_cv_attention_models.coat.coat import CoaT as RefCoaT
+
+    ref = RefCoaT(
+        serial_depths=[1, 1, 1, 1], embed_dims=[32, 32, 32, 32],
+        mlp_ratios=[2, 2, 2, 2], parallel_depth=2, patch_size=4, num_heads=8,
+        input_shape=(64, 64, 3), num_classes=7, pretrained=None,
+        model_name="coat_test",
+    )
+    _check(
+        ref, "CoaTTiny", tmp_path, input_size=(64, 64), nb_classes=7,
+        serial_depths=(1, 1, 1, 1), embed_dims=(32, 32, 32, 32),
+        mlp_ratios=(2, 2, 2, 2), parallel_depth=2,
+    )
+
+
+@pytest.mark.parity
+def test_parity_coat_lite(ref_path, tmp_path):
+    from keras_cv_attention_models.coat.coat import CoaT as RefCoaT
+
+    ref = RefCoaT(
+        serial_depths=[1, 1, 1, 1], embed_dims=[32, 32, 32, 32],
+        mlp_ratios=[2, 2, 2, 2], parallel_depth=0, patch_size=4, num_heads=8,
+        input_shape=(64, 64, 3), num_classes=7, pretrained=None,
+        model_name="coat_lite_test",
+    )
+    _check(
+        ref, "CoaTLiteTiny", tmp_path, input_size=(64, 64), nb_classes=7,
+        serial_depths=(1, 1, 1, 1), embed_dims=(32, 32, 32, 32),
+        mlp_ratios=(2, 2, 2, 2),
+    )

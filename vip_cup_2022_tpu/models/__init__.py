@@ -5,6 +5,7 @@ registry serves the same role)."""
 from . import aotnet  # noqa: F401
 from . import beit  # noqa: F401
 from . import cmt  # noqa: F401
+from . import coat  # noqa: F401
 from . import coatnet  # noqa: F401
 from . import convnext  # noqa: F401
 from . import davit  # noqa: F401
@@ -21,6 +22,8 @@ from . import nat  # noqa: F401
 from . import nfnets  # noqa: F401
 from . import poolformer  # noqa: F401
 from . import vit  # noqa: F401
+from . import yolox  # noqa: F401
+from . import volo  # noqa: F401
 from . import resnet_rs  # noqa: F401
 from . import uniformer  # noqa: F401
 from . import swin_v2  # noqa: F401

@@ -374,58 +374,16 @@ class AotNet(nn.Module):
         return output
 
     def _outlook_attention(self, x, embed_dim, params, name, training):
-        """volo outlook_attention (volo.py:60-110): attention weights predicted
-        from pooled features, applied to unfolded value patches, folded back
-        with overlap-add."""
-        cfg = self.cfg
-        num_heads = params.get("num_heads", 8)
-        kernel_size = params.get("kernel_size", 3)
-        strides = params.get("strides", 2)
-        b, height, width, c = x.shape
-        head_dim = embed_dim // num_heads
-        scale = head_dim**-0.5
-        # grid = VALID patches over the symmetric-(k//2)-padded input
-        hh = (height + 2 * (kernel_size // 2) - kernel_size) // strides + 1
-        ww = (width + 2 * (kernel_size // 2) - kernel_size) // strides + 1
+        """volo outlook_attention (volo.py:26-76) — see ops/outlook.py."""
+        from ..ops.outlook import outlook_attention
 
-        vv = nn.Dense(embed_dim, use_bias=False, dtype=cfg.dtype, name=name + "v")(x)
-
-        pool_pad = "VALID" if height % strides == 0 and width % strides == 0 else "SAME"
-        attn = nn.avg_pool(x, (strides, strides), strides=(strides, strides),
-                           padding=pool_pad, count_include_pad=False)
-        attn = nn.Dense(kernel_size**4 * num_heads, dtype=cfg.dtype, name=name + "attn")(attn) / scale
-        attn = attn.reshape(b, hh, ww, num_heads, kernel_size**2, kernel_size**2)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-
-        # unfold: kecam CompatibleExtractPatches "SAME" = SYMMETRIC pad k//2
-        # each side, then VALID patches (common_layers.py:477-480) — NOT the
-        # asymmetric TF SAME padding.
-        k, s = kernel_size, strides
-        p = k // 2
-        vp = jnp.pad(vv, ((0, 0), (p, p), (p, p), (0, 0)))
-        patches = jnp.stack(
-            [
-                jnp.stack([vp[:, di : di + (hh - 1) * s + 1 : s, dj : dj + (ww - 1) * s + 1 : s, :] for dj in range(k)], axis=3)
-                for di in range(k)
-            ],
-            axis=3,
-        )  # (B, hh, ww, k, k, E)
-        mm = patches.reshape(b, hh, ww, k * k, num_heads, head_dim)
-        mm = jnp.transpose(mm, (0, 1, 2, 4, 3, 5))  # (B, hh, ww, heads, k2, hd)
-        mm = jnp.einsum("bxyhpq,bxyhqd->bxyhpd", attn, mm)
-        mm = jnp.transpose(mm, (0, 1, 2, 4, 3, 5)).reshape(b, hh, ww, k, k, embed_dim)
-
-        # fold: overlap-add, then crop [p : p+H] / [p : p+W] matching
-        # fold_by_conv2d_transpose (common_layers.py:419-455)
-        canvas = (hh - 1) * s + k
-        out = jnp.zeros((b, canvas, canvas, embed_dim), mm.dtype)
-        for di in range(k):
-            for dj in range(k):
-                out = out.at[:, di : di + (hh - 1) * s + 1 : s, dj : dj + (ww - 1) * s + 1 : s, :].add(
-                    mm[:, :, :, di, dj, :]
-                )
-        out = out[:, p : p + height, p : p + width, :]
-        return nn.Dense(embed_dim, use_bias=True, dtype=cfg.dtype, name=name + "out")(out)
+        return outlook_attention(
+            x, embed_dim,
+            num_heads=params.get("num_heads", 8),
+            kernel_size=params.get("kernel_size", 3),
+            strides=params.get("strides", 2),
+            dtype=self.cfg.dtype, name=name,
+        )
 
     def _attn_block(self, x, filters, stride, stack_cfg, name, training):
         cfg = self.cfg

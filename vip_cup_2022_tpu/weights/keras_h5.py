@@ -185,15 +185,20 @@ def map_kecam(weights: Dict[str, np.ndarray], model_name: str):
         # layer.name itself may contain slashes (e.g. mixer's
         # 'MixerBlock_0/token_mixing/Dense_0') — detect the duplicated halves
         half = len(body) // 2
+        extra: tuple = ()
         if body and len(body) % 2 == 0 and body[:half] == body[half:]:
             layer = "_".join(body[:half])
+        elif len(body) >= 2:
+            # keras layers with sublayer weights (e.g. MultiHeadAttention:
+            # '<layer>/query/kernel' after prefix dedupe) -> nested flax path
+            layer, extra = body[0], tuple(body[1:])
         else:
             layer = body[-1] if body else key
         if wname == "depthwise_kernel":
             value = np.transpose(value, (0, 1, 3, 2))
             wname = "kernel"
         target = batch_stats if wname.startswith("moving_") else params
-        _set(target, (layer, wname), value)
+        _set(target, (layer, *extra, wname), value)
     out = {"params": params}
     if batch_stats:
         out["batch_stats"] = batch_stats
@@ -274,7 +279,7 @@ def map_vit(weights: Dict[str, np.ndarray], model_name: str):
 for _prefix in ("mobilenet", "lcnet", "fbnet", "tinynet", "beit", "uniformer", "wavemlp",
                 "davit", "coatnet", "edgenext", "efficientformer", "levit",
                 "mobilevit", "nat", "volo", "halonet", "botnet", "cotnet",
-                "cmt", "coat"):
+                "cmt", "coat", "yolox", "yolor"):
     _WEIGHT_MAPPERS[_prefix] = map_kecam
 
 
