@@ -174,3 +174,135 @@ def test_parity_yolox_nano_depthwise(reference_models_path, tmp_path):
     merged = transfer_weights(loaded, v)
     y = np.asarray(m.apply(merged, jnp.asarray(x)))
     np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_yolor(reference_models_path, tmp_path):
+    import os
+    import sys
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import _tfa_stub
+
+    _tfa_stub.install()
+    if reference_models_path not in sys.path:
+        sys.path.insert(0, reference_models_path)
+    from keras_cv_attention_models.yolor.yolor import YOLOR as RefYOLOR
+
+    from vip_cup_2022_tpu.models import create_model, transfer_weights
+    from vip_cup_2022_tpu.weights.keras_h5 import convert_keras_h5
+
+    ref = RefYOLOR(
+        csp_depthes=[1, 2, 2, 1], csp_channels=[32, 64, 128, 256],
+        fpn_depth=1, ssp_depth=2, input_shape=(128, 128, 3),
+        num_classes=5, pretrained=None, model_name="yolor_test",
+    )
+    h5 = os.path.join(tmp_path, "yolor.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(2, 128, 128, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    m, v, _ = create_model(
+        "YOLOR_CSP", input_size=(128, 128), nb_classes=5,
+        csp_depthes=(1, 2, 2, 1), csp_channels=(32, 64, 128, 256), fpn_depth=1,
+    )
+    loaded = convert_keras_h5(h5, "yolor_csp")
+    merged = transfer_weights(loaded, v)
+
+    from flax.traverse_util import flatten_dict
+
+    src = set(flatten_dict(loaded["params"]))
+    dst = flatten_dict(v["params"])
+    missing = [k for k in dst if k not in src]
+    assert not missing, f"unmatched params: {missing[:10]}"
+
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
+    np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_yolor_e6_flavor(reference_models_path, tmp_path):
+    """Covers focus stem + csp downsample + no-shortcut-bn + 4-level fpn."""
+    import os
+    import sys
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import _tfa_stub
+
+    _tfa_stub.install()
+    if reference_models_path not in sys.path:
+        sys.path.insert(0, reference_models_path)
+    from keras_cv_attention_models.yolor.yolor import YOLOR as RefYOLOR
+
+    from vip_cup_2022_tpu.models import create_model, transfer_weights
+    from vip_cup_2022_tpu.weights.keras_h5 import convert_keras_h5
+
+    ref = RefYOLOR(
+        csp_depthes=[1, 1, 1, 1, 1], csp_channels=[16, 32, 64, 96, 128],
+        features_pick=[-4, -3, -2, -1], fpn_depth=1, ssp_depth=2,
+        use_focus_stem=True, csp_use_post=False, use_csp_downsample=True,
+        use_shortcut_bn=False, input_shape=(256, 256, 3),
+        num_classes=5, pretrained=None, model_name="yolor_e6_test",
+    )
+    h5 = os.path.join(tmp_path, "yolor_e6.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(1, 256, 256, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    m, v, _ = create_model(
+        "YOLOR_E6", input_size=(256, 256), nb_classes=5,
+        csp_depthes=(1, 1, 1, 1, 1), csp_channels=(16, 32, 64, 96, 128),
+        fpn_depth=1,
+    )
+    loaded = convert_keras_h5(h5, "yolor_e6")
+    merged = transfer_weights(loaded, v)
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
+    np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_efficientdet_d0(reference_models_path, tmp_path):
+    import os
+    import sys
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import _tfa_stub
+
+    _tfa_stub.install()
+    if reference_models_path not in sys.path:
+        sys.path.insert(0, reference_models_path)
+    from keras_cv_attention_models.efficientdet.efficientdet import EfficientDetD0
+
+    from vip_cup_2022_tpu.models import create_model, transfer_weights
+    from vip_cup_2022_tpu.weights.keras_h5 import convert_keras_h5
+
+    ref = EfficientDetD0(input_shape=(128, 128, 3), num_classes=12, pretrained=None)
+    h5 = os.path.join(tmp_path, "effdet.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(1, 128, 128, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    m, v, _ = create_model(
+        "EfficientDetD0", input_size=(128, 128), nb_classes=12, mean=None, std=None,
+    )
+    loaded = convert_keras_h5(h5, "efficientdet_d0")
+    merged = transfer_weights(loaded, v)
+
+    from flax.traverse_util import flatten_dict
+
+    src = set(flatten_dict(loaded["params"]))
+    dst = flatten_dict(v["params"])
+    missing = [k for k in dst if k not in src]
+    assert not missing, f"unmatched params: {missing[:10]}"
+
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
+    np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)

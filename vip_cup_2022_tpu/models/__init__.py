@@ -12,6 +12,7 @@ from . import davit  # noqa: F401
 from . import edgenext  # noqa: F401
 from . import efficientformer  # noqa: F401
 from . import efficientnet  # noqa: F401
+from . import efficientdet  # noqa: F401
 from . import gcvit  # noqa: F401
 from . import hornet  # noqa: F401
 from . import levit  # noqa: F401
@@ -22,6 +23,7 @@ from . import nat  # noqa: F401
 from . import nfnets  # noqa: F401
 from . import poolformer  # noqa: F401
 from . import vit  # noqa: F401
+from . import yolor  # noqa: F401
 from . import yolox  # noqa: F401
 from . import volo  # noqa: F401
 from . import resnet_rs  # noqa: F401

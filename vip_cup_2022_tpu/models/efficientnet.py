@@ -85,9 +85,14 @@ class EfficientNet(nn.Module):
     cfg: EfficientNetConfig
 
     @nn.compact
-    def __call__(self, x, training: bool = False, features_only: bool = False):
+    def __call__(self, x, training: bool = False, features_only: bool = False,
+                 feature_names: tuple = ()):
+        """feature_names: block-output names ("stack_2_block1_output", ...) to
+        return as a pyramid list (the role of kecam's named feature layers,
+        efficientdet.py:163-169)."""
         cfg = self.cfg
         dt = cfg.dtype
+        feats = {}
         bn_eps = TORCH_BN_EPS if cfg.is_torch_mode else TF_BN_EPS
 
         def bn_act(x, act, name):
@@ -179,6 +184,7 @@ class EfficientNet(nn.Module):
                 if shortcut:
                     x = DropPath(drop_rate, name=name + "drop")(x, training=training)
                     x = x + inp
+                feats[name + "output"] = x
                 pre_out = out
                 gid += 1
 
@@ -187,6 +193,8 @@ class EfficientNet(nn.Module):
             x = nn.Conv(post, (1, 1), padding="VALID", use_bias=False, dtype=dt, name="post_conv")(x)
             x = bn_act(x, cfg.activation, "post_")
 
+        if feature_names:
+            return [feats[n] for n in feature_names]
         if features_only:
             return x
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))

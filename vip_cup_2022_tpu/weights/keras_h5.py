@@ -206,6 +206,32 @@ def map_kecam(weights: Dict[str, np.ndarray], model_name: str):
 
 
 # ---------------------------------------------------------------------------
+# EfficientDet: det layers (biFPN/heads/extra levels) live at the flax root,
+# everything else is the EfficientNet backbone nested under 'backbone'
+# ---------------------------------------------------------------------------
+
+_EFFDET_HEAD_RE = re.compile(r"^(biFPN_|regressor_|classifier_|object_|p\d+_p\d+_)")
+
+
+@register_weight_mapper("efficientdet")
+def map_efficientdet(weights: Dict[str, np.ndarray], model_name: str):
+    out = map_kecam(weights, model_name)
+
+    def split(tree):
+        root, backbone = {}, {}
+        for layer, sub in tree.items():
+            (root if _EFFDET_HEAD_RE.match(layer) else backbone)[layer] = sub
+        if backbone:
+            root["backbone"] = backbone
+        return root
+
+    result = {"params": split(out["params"])}
+    if "batch_stats" in out:
+        result["batch_stats"] = split(out["batch_stats"])
+    return result
+
+
+# ---------------------------------------------------------------------------
 # tfimm ConvNeXt (subclassed model; layer names stem/0, stages/0/blocks/0/...)
 # ---------------------------------------------------------------------------
 
