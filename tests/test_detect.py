@@ -306,3 +306,126 @@ def test_parity_efficientdet_d0(reference_models_path, tmp_path):
     y = np.asarray(m.apply(merged, jnp.asarray(x)))
     assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
     np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_yolor_anchors_and_assign_match_reference(reference_models_path):
+    import sys
+
+    import _tfa_stub
+
+    _tfa_stub.install()
+    if reference_models_path not in sys.path:
+        sys.path.insert(0, reference_models_path)
+    import tensorflow as tf
+
+    from keras_cv_attention_models.coco import anchors_func as ref_af
+
+    from vip_cup_2022_tpu.detect import get_yolor_anchors, yolor_assign_anchors
+
+    ours = get_yolor_anchors((256, 256), (3, 5))
+    refs = ref_af.get_yolor_anchors((256, 256), [3, 5]).numpy()
+    np.testing.assert_allclose(ours, refs, atol=1e-6)
+
+    # training-mode ratios + assignment
+    rng = np.random.RandomState(3)
+    bboxes = np.sort(rng.uniform(0.05, 0.95, (6, 2, 2)), axis=1).reshape(6, 4).astype(np.float32)
+    labels = rng.randint(1, 5, 6).astype(np.float32)
+    bbox_labels = np.concatenate([bboxes, labels[:, None]], -1)
+
+    ar_ref, fs_ref = ref_af.get_yolor_anchors((256, 256), [3, 5], is_for_training=True)
+    assigned_ref = ref_af.yolor_assign_anchors(tf.constant(bbox_labels), ar_ref, fs_ref).numpy()
+
+    ar, fs = get_yolor_anchors((256, 256), (3, 5), is_for_training=True)
+    assigned = yolor_assign_anchors(bbox_labels, ar, fs)
+    np.testing.assert_allclose(assigned, assigned_ref, atol=1e-5)
+
+
+@pytest.mark.parity
+def test_anchor_free_assign_and_loss_match_reference(reference_models_path):
+    import sys
+
+    import _tfa_stub
+
+    _tfa_stub.install()
+    if reference_models_path not in sys.path:
+        sys.path.insert(0, reference_models_path)
+    import jax
+    import tensorflow as tf
+
+    from keras_cv_attention_models.coco import anchors_func as ref_af
+    from keras_cv_attention_models.coco import losses as ref_losses
+
+    from vip_cup_2022_tpu.detect import AnchorFreeAssignMatching
+    from vip_cup_2022_tpu.detect.losses import anchor_free_loss
+
+    num_classes, input_shape = 6, (128, 128)
+    rng = np.random.RandomState(5)
+    nb = 8
+    corners = np.sort(rng.uniform(0, 1, (nb, 2, 2)), axis=1).reshape(nb, 4)
+    onehot = np.eye(num_classes)[rng.randint(0, num_classes, nb)]
+    valid = (rng.uniform(size=(nb, 1)) > 0.3).astype(np.float64)
+    bbox_labels_true = np.concatenate([corners, onehot, valid], -1).astype(np.float32)
+
+    ours_assign = AnchorFreeAssignMatching(input_shape, (3, 5))
+    num_anchors = ours_assign.anchors.shape[0]
+    pred = rng.uniform(0.01, 0.99, (num_anchors, 4 + num_classes + 1)).astype(np.float32)
+    pred[:, :4] = rng.uniform(-1, 1, (num_anchors, 4))
+
+    # reference assignment (ragged output) -> dense reconstruction
+    ref_assign = ref_af.AnchorFreeAssignMatching(input_shape, [3, 5])
+    out_ref = ref_assign(tf.constant(bbox_labels_true), tf.constant(pred)).numpy()
+    rb_true, rb_enc, rl_true, r_idx = out_ref[:, :4], out_ref[:, 4:8], out_ref[:, 8:-1], out_ref[:, -1].astype(int)
+    dense_obj = np.zeros(num_anchors)
+    dense_obj[r_idx] = 1.0
+    dense_bb = np.zeros((num_anchors, 4)); dense_bb[r_idx] = rb_true
+    dense_lb = np.zeros((num_anchors, num_classes)); dense_lb[r_idx] = rl_true
+    dense_enc = np.zeros((num_anchors, 4)); dense_enc[r_idx] = rb_enc
+
+    ours = jax.jit(ours_assign)(bbox_labels_true, pred)
+    np.testing.assert_allclose(np.asarray(ours["object_true"]), dense_obj, atol=1e-6)
+    obj = dense_obj.astype(bool)
+    np.testing.assert_allclose(np.asarray(ours["bboxes_true"])[obj], dense_bb[obj], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours["labels_true"])[obj], dense_lb[obj], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours["bboxes_true_encoded"])[obj], dense_enc[obj], atol=1e-4)
+
+    # full loss value
+    ref_loss = ref_losses.AnchorFreeLoss(input_shape, [3, 5], use_l1_loss=True)
+    ref_val = float(ref_loss(tf.constant(bbox_labels_true[None]), tf.constant(pred[None])))
+    our_val = float(anchor_free_loss(bbox_labels_true[None], pred[None], ours_assign,
+                                     use_l1_loss=True))
+    np.testing.assert_allclose(our_val, ref_val, rtol=1e-4)
+
+
+@pytest.mark.parity
+def test_yolor_loss_matches_reference(reference_models_path):
+    import sys
+
+    import _tfa_stub
+
+    _tfa_stub.install()
+    if reference_models_path not in sys.path:
+        sys.path.insert(0, reference_models_path)
+    import tensorflow as tf
+
+    from keras_cv_attention_models.coco import anchors_func as ref_af
+    from keras_cv_attention_models.coco import losses as ref_losses
+
+    from vip_cup_2022_tpu.detect import YolorLossWithBbox, get_yolor_anchors, yolor_assign_anchors
+
+    num_classes, input_shape = 6, (256, 256)
+    rng = np.random.RandomState(7)
+    nb = 5
+    corners = np.sort(rng.uniform(0.1, 0.9, (nb, 2, 2)), axis=1).reshape(nb, 4)
+    onehot = np.eye(num_classes)[rng.randint(0, num_classes, nb)]
+    bbox_labels = np.concatenate([corners, onehot, np.ones((nb, 1))], -1).astype(np.float32)
+
+    ar, fs = get_yolor_anchors(input_shape, (3, 5), is_for_training=True)
+    y_true = yolor_assign_anchors(bbox_labels, ar, fs)[None]
+    y_pred = rng.uniform(0.01, 0.99, y_true.shape).astype(np.float32)
+
+    ref_loss = ref_losses.YOLORLossWithBbox(input_shape, [3, 5])
+    ref_val = float(ref_loss(tf.constant(y_true), tf.constant(y_pred)))
+    our = YolorLossWithBbox(input_shape, (3, 5))
+    our_val = float(our(y_true, y_pred))
+    np.testing.assert_allclose(our_val, ref_val, rtol=1e-4)
