@@ -429,3 +429,50 @@ def test_yolor_loss_matches_reference(reference_models_path):
     our = YolorLossWithBbox(input_shape, (3, 5))
     our_val = float(our(y_true, y_pred))
     np.testing.assert_allclose(our_val, ref_val, rtol=1e-4)
+
+
+def test_mosaic_and_loader():
+    from vip_cup_2022_tpu.detect import DetectionLoader, mosaic_mix_batch
+
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(8, 64, 64, 3).astype(np.float32)
+    bboxes = np.sort(rng.uniform(0, 1, (8, 3, 2, 2)), axis=2).reshape(8, 3, 4).astype(np.float32)
+    labels = rng.randint(1, 5, (8, 3))
+    mixed, (mb, ml) = mosaic_mix_batch(imgs, bboxes, labels, rng=rng)
+    assert mixed.shape == imgs.shape
+    assert mb.shape == (8, 12, 4) and ml.shape == (8, 12)
+    assert (mb >= 0).all() and (mb <= 1).all()
+    valid = ml > 0
+    assert ((mb[valid][:, 2:] - mb[valid][:, :2]) > 0).all()
+
+    # loader end-to-end: variable-size images -> fixed padded targets
+    images = [rng.randint(0, 255, (rng.randint(60, 120), rng.randint(60, 120), 3), dtype=np.uint8) for _ in range(8)]
+    bbs = [np.sort(rng.uniform(0, 1, (2, 2, 2)), axis=1).reshape(2, 4) for _ in range(8)]
+    lbs = [rng.randint(1, 5, 2) for _ in range(8)]
+    loader = DetectionLoader(images, bbs, lbs, num_classes=4, batch_size=4, target_shape=(96, 96))
+    batches = list(loader)
+    assert len(batches) == 2
+    x, y = batches[0]
+    assert x.shape == (4, 96, 96, 3) and y.shape == (4, 100, 4 + 4 + 1)
+    assert np.isfinite(x).all() and 0 <= x.min() and x.max() <= 1
+
+
+def test_coco_map_sanity():
+    from vip_cup_2022_tpu.detect import coco_map
+
+    rng = np.random.RandomState(1)
+    gts, perfect, shifted, empty = [], [], [], []
+    for _ in range(6):
+        boxes = np.sort(rng.uniform(0, 1, (4, 2, 2)), axis=1).reshape(4, 4)
+        labels = rng.randint(0, 3, 4)
+        gts.append((boxes, labels))
+        perfect.append((boxes, np.ones(4), labels))
+        shifted.append((boxes + 0.08, np.ones(4), labels))
+        empty.append((np.zeros((0, 4)), np.zeros(0), np.zeros(0, int)))
+    m_perfect = coco_map(perfect, gts, 3)
+    m_shifted = coco_map(shifted, gts, 3)
+    m_empty = coco_map(empty, gts, 3)
+    assert m_perfect["AP"] > 0.99, m_perfect
+    assert m_empty["AP"] == 0.0
+    assert m_shifted["AP"] < m_perfect["AP"]
+    assert m_shifted["AP50"] >= m_shifted["AP"]

@@ -22,3 +22,12 @@ from .losses import (  # noqa: F401
     focal_loss_with_bbox,
 )
 from .nms import DecodePredictions, non_max_suppression  # noqa: F401
+from .data import (  # noqa: F401
+    DetectionLoader,
+    letterbox_resize,
+    mosaic_mix_batch,
+    pad_bboxes_labels,
+    random_flip_left_right_with_bboxes,
+    random_hsv,
+)
+from .eval import DetectionEvaluator, coco_map  # noqa: F401
