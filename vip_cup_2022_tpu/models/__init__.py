@@ -4,6 +4,7 @@ registry serves the same role)."""
 
 from . import aotnet  # noqa: F401
 from . import beit  # noqa: F401
+from . import cait  # noqa: F401
 from . import cmt  # noqa: F401
 from . import coat  # noqa: F401
 from . import coatnet  # noqa: F401
@@ -21,13 +22,17 @@ from . import mobilenetv3  # noqa: F401
 from . import mobilevit  # noqa: F401
 from . import nat  # noqa: F401
 from . import nfnets  # noqa: F401
+from . import pit  # noqa: F401
 from . import poolformer  # noqa: F401
+from . import pvt  # noqa: F401
 from . import vit  # noqa: F401
 from . import yolor  # noqa: F401
 from . import yolox  # noqa: F401
 from . import volo  # noqa: F401
 from . import resnet_rs  # noqa: F401
+from . import resnetv2  # noqa: F401
 from . import uniformer  # noqa: F401
+from . import swin  # noqa: F401
 from . import swin_v2  # noqa: F401
 from .base import ModelConfig  # noqa: F401
 from .factory import create_model, create_preprocessing, transfer_weights  # noqa: F401

@@ -38,6 +38,7 @@ Dtype = Any
 @dataclasses.dataclass(frozen=True)
 class ViTConfig(ModelConfig):
     patch_size: int = 16
+    patch_nb_blocks: Any = None  # not None -> hybrid_embeddings (vit.py:104-110,:230-287)
     embed_dim: int = 768
     nb_blocks: int = 12
     nb_heads: int = 12
@@ -61,7 +62,13 @@ class ViTConfig(ModelConfig):
 
     @property
     def grid_size(self) -> Tuple[int, int]:
-        return (self.input_size[0] // self.patch_size, self.input_size[1] // self.patch_size)
+        gh = self.input_size[0] // self.patch_size
+        gw = self.input_size[1] // self.patch_size
+        if self.patch_nb_blocks is not None:
+            # 2 stem reductions + 1 per stage except the first (vit.py:104-110)
+            stride = 2 ** (2 + max(len(self.patch_nb_blocks) - 1, 0))
+            gh, gw = gh // stride, gw // stride
+        return gh, gw
 
     @property
     def nb_patches(self) -> int:
@@ -105,6 +112,21 @@ class ViT(nn.Module):
         cfg = self.cfg
         b = x.shape[0]
         x = preprocess_input(x, cfg)
+        if cfg.patch_nb_blocks is not None:
+            # HybridEmbeddings (vit.py:230-287): ResNetV2 backbone features
+            from .resnetv2 import ResNetV2, ResNetV2Config, _Stem
+
+            if len(cfg.patch_nb_blocks) == 0:
+                bcfg = ResNetV2Config(name="", stem_type="same", conv_padding="same",
+                                      preact=False, stem_width=64, dtype=cfg.dtype)
+                x = _Stem(bcfg, name="patch_embed_backbone")(x)
+            else:
+                bcfg = ResNetV2Config(
+                    name="", nb_classes=0, nb_blocks=tuple(cfg.patch_nb_blocks),
+                    preact=False, stem_type="same", conv_padding="same",
+                    mean=None, std=None, dtype=cfg.dtype,
+                )
+                x = ResNetV2(bcfg, name="patch_embed_backbone")(x, features_only=True)
         x = nn.Conv(
             cfg.embed_dim,
             (cfg.patch_size, cfg.patch_size),
@@ -229,3 +251,52 @@ def _register_vit_variants():
 
 
 _register_vit_variants()
+
+
+# --- ViT-hybrid variants (tfimm architectures/vit_hybrid.py) ---
+
+
+def _vit_hybrid(name, patch_nb_blocks, patch_size, embed_dim, nb_blocks, nb_heads,
+                input_size=(224, 224), nb_classes=1000, representation_size=None):
+    return ViT, ViTConfig(
+        name=name, patch_nb_blocks=patch_nb_blocks, patch_size=patch_size,
+        embed_dim=embed_dim, nb_blocks=nb_blocks, nb_heads=nb_heads,
+        input_size=input_size, nb_classes=nb_classes,
+        representation_size=representation_size,
+        mean=IMAGENET_INCEPTION_MEAN, std=IMAGENET_INCEPTION_STD,
+    )
+
+
+@register_model
+def vit_tiny_r_s16_p8_224():
+    return _vit_hybrid("vit_tiny_r_s16_p8_224", (), 8, 192, 12, 3)
+
+
+@register_model
+def vit_tiny_r_s16_p8_384():
+    return _vit_hybrid("vit_tiny_r_s16_p8_384", (), 8, 192, 12, 3, (384, 384))
+
+
+@register_model
+def vit_small_r26_s32_224():
+    return _vit_hybrid("vit_small_r26_s32_224", (2, 2, 2, 2), 1, 384, 12, 6)
+
+
+@register_model
+def vit_small_r26_s32_384():
+    return _vit_hybrid("vit_small_r26_s32_384", (2, 2, 2, 2), 1, 384, 12, 6, (384, 384))
+
+
+@register_model
+def vit_base_r50_s16_384():
+    return _vit_hybrid("vit_base_r50_s16_384", (3, 4, 9), 1, 768, 12, 12, (384, 384))
+
+
+@register_model
+def vit_large_r50_s32_224():
+    return _vit_hybrid("vit_large_r50_s32_224", (3, 4, 6, 3), 1, 1024, 24, 16)
+
+
+@register_model
+def vit_large_r50_s32_384():
+    return _vit_hybrid("vit_large_r50_s32_384", (3, 4, 6, 3), 1, 1024, 24, 16, (384, 384))

@@ -283,20 +283,23 @@ def map_convnext(weights: Dict[str, np.ndarray], model_name: str):
 # tfimm ViT/DeiT (subclassed; '<layer>/<model_name>/<path>' h5 layout)
 # ---------------------------------------------------------------------------
 
-_VIT_STRIP_RE = re.compile(r"^(?:.*?)/((?:vit|deit)[^/]*)/(.*)$")
+_VIT_STRIP_RE = re.compile(r"^(?:.*?)/((?:vit|deit|cait|pit|pvt|resnetv2|swin)[^/]*)/(.*)$")
 
 
-@register_weight_mapper("vit", "deit")
+@register_weight_mapper("vit", "deit", "cait", "pit", "pvt", "resnetv2", "swin")
 def map_vit(weights: Dict[str, np.ndarray], model_name: str):
     params: Dict = {}
     for key, value in weights.items():
         m = _VIT_STRIP_RE.match(key)
         path = m.group(2) if m else key
         parts = _merge_numeric(path.split("/"))
-        if parts[0] == "patch_embed":
-            parts = ["patch_embed_" + parts[1]] + parts[2:]
+        if parts[0].startswith("patch_embed"):
+            parts = [parts[0] + "_" + parts[1]] + parts[2:]
         elif parts[0] == "pre_logits":
             parts = ["pre_logits_" + parts[1]] + parts[2:]
+        if parts[-1] == "depthwise_kernel":
+            value = np.transpose(value, (0, 1, 3, 2))
+            parts[-1] = "kernel"
         _set(params, tuple(parts), value)
     return {"params": params}
 
