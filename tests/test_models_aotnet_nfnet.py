@@ -81,3 +81,108 @@ def test_parity_resnet50d(ref_path, tmp_path):
     _assert_all_matched(loaded, v)
     y = np.asarray(m.apply(merged, jnp.asarray(x)))
     np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_regnety(ref_path, tmp_path):
+    from keras_cv_attention_models.resnet_family.regnet import RegNetY
+
+    ref = RegNetY(
+        num_blocks=[1, 1, 1, 1], out_channels=[32, 64, 96, 128],
+        input_shape=(64, 64, 3), num_classes=7, pretrained=None,
+        model_name="regnety_test",
+    )
+    h5 = os.path.join(tmp_path, "ry.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    se = (
+        (0.25 * 32 / 32, 0.25),
+        (0.25 * 32 / 64, 0.25),
+        (0.25 * 64 / 96, 0.25),
+        (0.25 * 96 / 128, 0.25),
+    )
+    m, v, _ = create_model(
+        "RegNetY032", input_size=(64, 64), nb_classes=7,
+        num_blocks=(1, 1, 1, 1), out_channels=(32, 64, 96, 128), se_ratio=se,
+        mean=None, std=None,
+    )
+    loaded = convert_keras_h5(h5, "regnety_test")
+    merged = transfer_weights(loaded, v)
+    _assert_all_matched(loaded, v)
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_regnetz_b16(ref_path, tmp_path):
+    from keras_cv_attention_models.resnet_family import RegNetZB16
+
+    ref = RegNetZB16(input_shape=(64, 64, 3), num_classes=7, pretrained=None)
+    h5 = os.path.join(tmp_path, "rz.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(1, 64, 64, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    m, v, _ = create_model("RegNetZB16", input_size=(64, 64), nb_classes=7, mean=None, std=None)
+    loaded = convert_keras_h5(h5, "regnetz_b16")
+    merged = transfer_weights(loaded, v)
+    _assert_all_matched(loaded, v)
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_resnet51q(ref_path, tmp_path):
+    from keras_cv_attention_models.resnet_family.resnet_quad import ResNetQ as RefQ
+
+    ref = RefQ(
+        num_blocks=[1, 1, 1, 1], out_channels=[32, 64, 96, 128],
+        stem_width=64, expansion=[4, 4, 4, 1], groups_div=[32, 32, 32, 1],
+        num_features=256, input_shape=(64, 64, 3), num_classes=7,
+        pretrained=None, model_name="resnetq_test",
+    )
+    h5 = os.path.join(tmp_path, "rq.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    m, v, _ = create_model(
+        "ResNet51Q", input_size=(64, 64), nb_classes=7,
+        num_blocks=(1, 1, 1, 1), out_channels=(32, 64, 96, 128),
+        stem_width=64, num_features=256, mean=None, std=None,
+    )
+    loaded = convert_keras_h5(h5, "resnetq_test")
+    merged = transfer_weights(loaded, v)
+    _assert_all_matched(loaded, v)
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_resnet61q(ref_path, tmp_path):
+    from keras_cv_attention_models.resnet_family.resnet_quad import ResNetQ as RefQ
+
+    ref = RefQ(
+        num_blocks=[1, 1, 1, 1], out_channels=[64, 64, 96, 128],
+        stem_width=64, stem_act=True, expansion=[1, 4, 4, 1],
+        groups_div=[0, 32, 32, 1], extra_conv=True, num_features=256,
+        input_shape=(64, 64, 3), num_classes=7, pretrained=None,
+        model_name="resnetq61_test",
+    )
+    h5 = os.path.join(tmp_path, "rq61.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    m, v, _ = create_model(
+        "ResNet61Q", input_size=(64, 64), nb_classes=7,
+        num_blocks=(1, 1, 1, 1), out_channels=(64, 64, 96, 128),
+        stem_width=64, num_features=256, mean=None, std=None,
+    )
+    loaded = convert_keras_h5(h5, "resnetq61_test")
+    merged = transfer_weights(loaded, v)
+    _assert_all_matched(loaded, v)
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-3)

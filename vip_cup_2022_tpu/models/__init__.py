@@ -29,12 +29,15 @@ from . import vit  # noqa: F401
 from . import yolor  # noqa: F401
 from . import yolox  # noqa: F401
 from . import volo  # noqa: F401
+from . import regnet  # noqa: F401
+from . import resnet_quad  # noqa: F401
 from . import resnet_rs  # noqa: F401
 from . import resnetv2  # noqa: F401
 from . import uniformer  # noqa: F401
 from . import swin  # noqa: F401
 from . import swin_v2  # noqa: F401
 from .base import ModelConfig  # noqa: F401
+from .embedding_model import EmbeddingModel  # noqa: F401
 from .factory import create_model, create_preprocessing, transfer_weights  # noqa: F401
 from .registry import (  # noqa: F401
     is_model,

@@ -429,7 +429,10 @@ class AotNet(nn.Module):
         if cfg.bn_after_attn:
             x = self._bn_act(x, act, name, training=training)
         if attn_type is None and stack_cfg["se_ratio"]:
-            x = self._se(x, stack_cfg["se_ratio"], 8, act, name + "se_")
+            # se_divisor / activation from attn_params (ref aotnet.py:55-56)
+            params = dict(stack_cfg["attn_params"] or {})
+            x = self._se(x, stack_cfg["se_ratio"], params.get("se_divisor", 8),
+                         params.get("activation", act), name + "se_")
         if attn_type is None and stack_cfg["use_eca"]:
             x = self._eca(x, name + "eca_")
         return x

@@ -35,6 +35,7 @@ class BatchNorm(nn.Module):
     momentum: float = BATCH_NORM_DECAY
     epsilon: float = BATCH_NORM_EPSILON
     zero_gamma: bool = False
+    use_scale: bool = True  # scale=False -> no gamma (tfimm EmbeddingModel bn)
     dtype: Dtype = None
     param_dtype: Dtype = jnp.float32
 
@@ -42,7 +43,10 @@ class BatchNorm(nn.Module):
     def __call__(self, x, training: bool = False):
         ch = x.shape[-1]
         gamma_init = nn.initializers.zeros if self.zero_gamma else nn.initializers.ones
-        gamma = self.param("gamma", gamma_init, (ch,), self.param_dtype)
+        if self.use_scale:
+            gamma = self.param("gamma", gamma_init, (ch,), self.param_dtype)
+        else:
+            gamma = jnp.ones((ch,), self.param_dtype)
         beta = self.param("beta", nn.initializers.zeros, (ch,), self.param_dtype)
         ra_mean = self.variable(
             "batch_stats", "moving_mean", lambda: jnp.zeros((ch,), self.param_dtype)

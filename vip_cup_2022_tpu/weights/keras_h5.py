@@ -308,7 +308,7 @@ def map_vit(weights: Dict[str, np.ndarray], model_name: str):
 for _prefix in ("mobilenet", "lcnet", "fbnet", "tinynet", "beit", "uniformer", "wavemlp",
                 "davit", "coatnet", "edgenext", "efficientformer", "levit",
                 "mobilevit", "nat", "volo", "halonet", "botnet", "cotnet",
-                "cmt", "coat", "yolox", "yolor"):
+                "cmt", "coat", "yolox", "yolor", "regnety", "regnetz", "resnet51q", "resnet61q", "resnetq"):
     _WEIGHT_MAPPERS[_prefix] = map_kecam
 
 
