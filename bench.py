@@ -14,6 +14,7 @@ stops on a host fetch of the reduced output. Device path = the production
 engine path: u8 -> f32/255 -> resize-to-dim (MXU matmuls) -> model, bf16.
 """
 import json
+import os
 import time
 
 import jax
@@ -31,8 +32,8 @@ ENSEMBLE = [
 ]
 
 NORTH_STAR = 10_000.0
-BATCH = 256
-K = 8  # chained forwards per dispatch
+BATCH = int(os.environ.get("VIPTPU_BENCH_BATCH", "256"))
+K = int(os.environ.get("VIPTPU_BENCH_K", "8"))  # chained forwards per dispatch
 
 
 def member_program(module, variables, dim, compute_dtype):
