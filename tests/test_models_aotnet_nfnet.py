@@ -186,3 +186,21 @@ def test_parity_resnet61q(ref_path, tmp_path):
     _assert_all_matched(loaded, v)
     y = np.asarray(m.apply(merged, jnp.asarray(x)))
     np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_regnetz_evo(ref_path, tmp_path):
+    from keras_cv_attention_models.resnet_family import RegNetZC16_EVO
+
+    ref = RegNetZC16_EVO(input_shape=(64, 64, 3), num_classes=7, pretrained=None)
+    h5 = os.path.join(tmp_path, "rzevo.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(1, 64, 64, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    m, v, _ = create_model("RegNetZC16_EVO", input_size=(64, 64), nb_classes=7, mean=None, std=None)
+    loaded = convert_keras_h5(h5, "regnetz_c16_evo")
+    merged = transfer_weights(loaded, v)
+    _assert_all_matched(loaded, v)
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)

@@ -90,6 +90,8 @@ class AotNetConfig(ModelConfig):
     hidden_channel_ratio: Any = 0.25
     use_3x3_kernel: bool = False
     use_block_output_activation: bool = True
+    use_evo_norm: bool = False
+    evo_norm_group_size: int = -1
     bn_epsilon: float = 1e-5
     stem_width: int = 64
     stem_type: Optional[str] = None  # deep/deep2/quad/tiered/kernel_3x3/None
@@ -134,9 +136,20 @@ class AotNet(nn.Module):
         )(x)
 
     def _bn_act(self, x, act, name, zero_gamma=False, training=False):
+        cfg = self.cfg
+        if cfg.use_evo_norm:
+            # batchnorm_with_activation evo path (common_layers.py:194-197)
+            from ..ops import EvoNorm
+
+            num_groups = x.shape[-1] // cfg.evo_norm_group_size
+            return EvoNorm(
+                nonlinearity=act is not None, num_groups=num_groups,
+                zero_gamma=zero_gamma, epsilon=cfg.bn_epsilon, momentum=0.9,
+                dtype=cfg.dtype, name=name + "evo_norm",
+            )(x, training=training)
         x = BatchNorm(
-            momentum=0.9, epsilon=self.cfg.bn_epsilon, zero_gamma=zero_gamma,
-            dtype=self.cfg.dtype, name=name + "bn",
+            momentum=0.9, epsilon=cfg.bn_epsilon, zero_gamma=zero_gamma,
+            dtype=cfg.dtype, name=name + "bn",
         )(x, training=training)
         return apply_activation(x, act) if act else x
 

@@ -122,3 +122,23 @@ def RegNetZE8():
         group_size=8, strides=[1, 2, 2, 2], stem_type="tiered", stem_width=64,
         stem_last_strides=2, output_num_features=2048, input_size=(256, 256),
     )
+
+
+def _evo(base_fn, name, stem_type=None):
+    import dataclasses
+
+    cls, cfg = base_fn()
+    kw = dict(name=name, use_evo_norm=True, evo_norm_group_size=16, bn_epsilon=1e-3)
+    if stem_type:
+        kw["stem_type"] = stem_type
+    return cls, dataclasses.replace(cfg, **kw)
+
+
+@register_model
+def RegNetZC16_EVO():
+    return _evo(RegNetZC16, "regnetz_c16_evo")
+
+
+@register_model
+def RegNetZD8_EVO():
+    return _evo(RegNetZD8, "regnetz_d8_evo", stem_type="deep2")
