@@ -180,3 +180,33 @@ def test_trainer_distillation(tiny_model, tmp_path):
     tr.set_teacher(module, variables, temperature=5.0, weight=0.5)
     hist = tr.fit(data_iter)
     assert np.isfinite(hist["loss"][0])
+
+
+@pytest.mark.parity
+def test_token_label_align_matches_reference(reference_models_path):
+    import sys
+
+    import _tfa_stub
+
+    _tfa_stub.install()
+    if reference_models_path not in sys.path:
+        sys.path.insert(0, reference_models_path)
+    from keras_cv_attention_models.imagenet.token_label import TokenLabelAlign
+
+    from vip_cup_2022_tpu.train.token_label import token_label_align
+
+    rng = np.random.RandomState(0)
+    num_classes, sh, sw, k = 10, 7, 7, 5
+    pos = np.stack([rng.choice(num_classes, k, replace=False) for _ in range(sh * sw)]).reshape(sh, sw, k)
+    score = rng.uniform(0.1, 1, (sh, sw, k)).astype(np.float32)
+    token_label = np.stack([pos.astype(np.float32), score])
+
+    for kwargs in (
+        dict(),
+        dict(flip_left_right=True),
+        dict(scale_hh=1.3, scale_ww=0.9, crop_hh=0.05, crop_ww=0.1),
+    ):
+        ref = TokenLabelAlign(num_classes=num_classes, target_num_pathes=14)
+        y_ref = ref(token_label, **{k2: (np.array(v) if isinstance(v, bool) else v) for k2, v in kwargs.items()}).numpy()
+        y = token_label_align(token_label, num_classes, 14, **kwargs)
+        np.testing.assert_allclose(y, y_ref, atol=1e-5)

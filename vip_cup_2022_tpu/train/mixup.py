@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def sample_beta(rng, shape, alpha0, alpha1):
@@ -84,3 +85,26 @@ def mixup_cutmix(rng, images, labels, mixup_alpha=0.1, cutmix_alpha=1.0, switch_
     if 0 < cutmix_alpha <= 1:
         return cutmix(k_op, images, labels, alpha=cutmix_alpha)
     return images, labels
+
+
+def rand_bbox_token(rng, height, width, scale=2, beta=1.0):
+    """volo MixupToken.rand_bbox (volo.py:246-270): sample a token-grid mixup
+    box (left, top, right, bottom) on the (height//scale, width//scale) grid."""
+    lam = rng.beta(beta, beta)
+    cut_rate = np.sqrt(1.0 - lam)
+    s_h, s_w = height // scale, width // scale
+    right = rng.randint(0, s_w)
+    bottom = rng.randint(0, s_h)
+    left = max(right - int(s_w * cut_rate) // 2, 0)
+    top = max(bottom - int(s_h * cut_rate) // 2, 0)
+    return left, top, right, bottom
+
+
+def do_mixup_token(inputs, bbox):
+    """volo MixupToken.do_mixup_token (volo.py:272-280): flip the batch inside
+    the bbox region (token-level CutMix). Works on (B, H, W, C) or
+    (B, H, W, nc) aux-label tensors; jit-friendly for static bbox."""
+    left, top, right, bottom = bbox
+    sub = inputs[:, :, left:right]
+    mixed = jnp.concatenate([sub[:, :top], sub[::-1, top:bottom], sub[:, bottom:]], axis=1)
+    return jnp.concatenate([inputs[:, :, :left], mixed, inputs[:, :, right:]], axis=2)
