@@ -476,3 +476,22 @@ def test_coco_map_sanity():
     assert m_empty["AP"] == 0.0
     assert m_shifted["AP"] < m_perfect["AP"]
     assert m_shifted["AP50"] >= m_shifted["AP"]
+
+
+def test_yolox_custom_backbone():
+    import jax.numpy as jnp
+
+    from vip_cup_2022_tpu.models import create_model
+
+    m, v, _ = create_model(
+        "YOLOXS", input_size=(128, 128), nb_classes=4, width_mul=-1.0, depth_mul=0.33,
+        backbone_name="EfficientNetV1B0",
+        backbone_feature_names=(
+            "stack_2_block1_output", "stack_4_block2_output", "stack_6_block0_output",
+        ),
+    )
+    x = jnp.ones((1, 128, 128, 3), jnp.float32)
+    out = m.apply(v, x)
+    assert out.shape == (1, 336, 4 + 4 + 1)
+    feats = m.apply(v, x, features_only=True)
+    assert [f.shape[-1] for f in feats] == [40, 112, 320]

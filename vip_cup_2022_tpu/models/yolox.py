@@ -43,6 +43,11 @@ BN_MOMENTUM = 0.03  # keras semantics: moving = m*moving + (1-m)*batch
 
 @dataclasses.dataclass(frozen=True)
 class YOLOXConfig(ModelConfig):
+    # Optional registry backbone instead of CSPDarknet (yolox.py:230-239):
+    # feature_names are the backbone's pyramid block outputs; width_mul < 0
+    # means min(feature channels)/256 like the reference's auto mode.
+    backbone_name: str = ""
+    backbone_feature_names: Tuple[str, ...] = ()
     depth_mul: float = 1.0
     width_mul: float = 1.0
     use_depthwise_conv: bool = False
@@ -196,11 +201,26 @@ class YOLOX(nn.Module):
     def __call__(self, x, training: bool = False, features_only: bool = False):
         cfg = self.cfg
         x = preprocess_input(x, cfg)
-        features = self._backbone(x, training)
+        if cfg.backbone_name:
+            import dataclasses as _dc
+
+            from .registry import model_entry
+
+            bcls, bcfg = model_entry(cfg.backbone_name)
+            bcfg = _dc.replace(bcfg, nb_classes=0, input_size=cfg.input_size,
+                               mean=None, std=None, dtype=cfg.dtype)
+            features = bcls(bcfg, name="backbone")(
+                x, training=training, feature_names=cfg.backbone_feature_names
+            )
+            width_mul = (cfg.width_mul if cfg.width_mul > 0
+                         else min(f.shape[-1] for f in features) / 256)
+        else:
+            features = self._backbone(x, training)
+            width_mul = cfg.width_mul
         if features_only:
             return features
         fpn = self._pafpn(features, training)
-        out_ch = int(256 * cfg.width_mul)
+        out_ch = int(256 * width_mul)
         outs = [
             self._head_single(f, out_ch, f"head_{i + 1}_", training)
             for i, f in enumerate(fpn)
