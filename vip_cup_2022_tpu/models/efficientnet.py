@@ -194,6 +194,11 @@ class EfficientNet(nn.Module):
             x = bn_act(x, cfg.activation, "post_")
 
         if feature_names:
+            missing_names = [n for n in feature_names if n not in feats]
+            if missing_names:
+                raise KeyError(
+                    f"unknown feature names {missing_names}; available: {sorted(feats)}"
+                )
             return [feats[n] for n in feature_names]
         if features_only:
             return x
