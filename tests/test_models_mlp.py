@@ -353,3 +353,18 @@ def test_parity_coat_lite(ref_path, tmp_path):
         serial_depths=(1, 1, 1, 1), embed_dims=(32, 32, 32, 32),
         mlp_ratios=(2, 2, 2, 2),
     )
+
+
+@pytest.mark.parity
+def test_parity_cmt_torch(ref_path, tmp_path):
+    from keras_cv_attention_models.cmt.cmt import CMT_torch
+
+    ref = CMT_torch(
+        num_blocks=[1, 1, 2, 1], out_channels=(32, 64, 128, 256), stem_width=16,
+        ffn_expansion=3.6, input_shape=(128, 128, 3), num_classes=7,
+        pretrained=None, model_name="cmt_torch_test",
+    )
+    _check(
+        ref, "CMTTiny_torch", tmp_path, input_size=(128, 128), nb_classes=7,
+        num_blocks=(1, 1, 2, 1), out_channels=(32, 64, 128, 256),
+    )
