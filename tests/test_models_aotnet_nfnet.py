@@ -204,3 +204,58 @@ def test_parity_regnetz_evo(ref_path, tmp_path):
     _assert_all_matched(loaded, v)
     y = np.asarray(m.apply(merged, jnp.asarray(x)))
     np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_timm_resnet(ref_path, tmp_path):
+    """tfimm resnet: deep_tiered stem + avg downsample + eca + bottleneck."""
+    from tfimm.architectures.resnet import ResNet as RefResNet, ResNetConfig as RefCfg
+
+    cfg = RefCfg(
+        name="resnet_test", nb_classes=7, input_size=(96, 96), block="bottleneck",
+        nb_blocks=(1, 1, 1, 1), stem_type="deep_tiered", stem_width=32,
+        downsample_mode="avg", attn_layer="eca",
+    )
+    ref = RefResNet(cfg)
+    ref(ref.dummy_inputs)
+    h5 = os.path.join(tmp_path, "timm_rn.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(2, 96, 96, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    m, v, _ = create_model(
+        "ecaresnet26t", input_size=(96, 96), nb_classes=7,
+        nb_blocks=(1, 1, 1, 1), mean=None, std=None, classifier_activation=None,
+    )
+    loaded = convert_keras_h5(h5, "resnet_test", mapper="timm_resnet")
+    merged = transfer_weights(loaded, v)
+    _assert_all_matched(loaded, v)
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_parity_timm_resnet_basic_se_blur(ref_path, tmp_path):
+    """tfimm resnet: basic block + se + blurpool + default stem + conv down."""
+    from tfimm.architectures.resnet import ResNet as RefResNet, ResNetConfig as RefCfg
+
+    cfg = RefCfg(
+        name="seresnet_test", nb_classes=7, input_size=(96, 96), block="basic_block",
+        nb_blocks=(1, 1, 1, 1), attn_layer="se", aa_layer="blur_pool",
+    )
+    ref = RefResNet(cfg)
+    ref(ref.dummy_inputs)
+    h5 = os.path.join(tmp_path, "timm_rn2.h5")
+    ref.save_weights(h5)
+    x = np.random.uniform(0, 1, size=(2, 96, 96, 3)).astype(np.float32)
+    y_ref = ref(x, training=False).numpy()
+
+    m, v, _ = create_model(
+        "resnet18", input_size=(96, 96), nb_classes=7,
+        nb_blocks=(1, 1, 1, 1), attn_layer="se", aa_layer="blur_pool",
+        mean=None, std=None, classifier_activation=None,
+    )
+    loaded = convert_keras_h5(h5, "seresnet_test")
+    merged = transfer_weights(loaded, v)
+    y = np.asarray(m.apply(merged, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-3)

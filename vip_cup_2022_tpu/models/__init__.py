@@ -35,6 +35,7 @@ from . import resnet_rs  # noqa: F401
 from . import resnetv2  # noqa: F401
 from . import uniformer  # noqa: F401
 from . import swin  # noqa: F401
+from . import timm_resnet  # noqa: F401
 from . import swin_v2  # noqa: F401
 from .base import ModelConfig  # noqa: F401
 from .embedding_model import EmbeddingModel  # noqa: F401

@@ -68,11 +68,15 @@ def _set(tree: Dict, path, value):
     node[path[-1]] = value
 
 
-def convert_keras_h5(path: str, model_name: str):
+def convert_keras_h5(path: str, model_name: str, mapper: str = ""):
     """Convert an h5 checkpoint to a variables pytree using the family mapper
-    registered for ``model_name``."""
+    registered for ``model_name`` (or the explicitly named ``mapper`` — used
+    when a name prefix is ambiguous, e.g. timm 'resnet50' vs kecam
+    'resnet50d'; manifest sidecars may set {"mapper": "..."})."""
     weights = {_dedupe_layer_prefix(k): v for k, v in read_keras_h5(path).items()}
     key = model_name.lower()
+    if mapper:
+        return _WEIGHT_MAPPERS[mapper.lower()](weights, model_name)
     mapper = None
     for prefix, fn in sorted(_WEIGHT_MAPPERS.items(), key=lambda kv: -len(kv[0])):
         if key.startswith(prefix):
@@ -342,6 +346,36 @@ def map_tfimm_flat(weights: Dict[str, np.ndarray], model_name: str):
             continue
         target = batch_stats if wname.startswith("moving_") else params
         _set(target, ("_".join(parts[:-1]), wname), value)
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
+# ---------------------------------------------------------------------------
+# timm-style tfimm ResNet ('<layer>/<model_name>/<path>' with Sequential
+# stems/downsamples). Plain 'resnetNN' names collide with the kecam prefix;
+# convert with mapper="timm_resnet" (auto-routed for the unambiguous ones).
+# ---------------------------------------------------------------------------
+
+
+@register_weight_mapper("timm_resnet", "tv_resnet", "wide_resnet", "ig_resnext",
+                        "ssl_resne", "swsl_resne", "ecaresnet", "seresne",
+                        "resnetblur")
+def map_timm_resnet(weights: Dict[str, np.ndarray], model_name: str):
+    params: Dict = {}
+    batch_stats: Dict = {}
+    for key, value in weights.items():
+        comps = key.split("/")
+        # strip everything through the embedded model name
+        if model_name in comps:
+            comps = comps[comps.index(model_name) + 1 :]
+        parts = _merge_numeric(comps)
+        wname = parts[-1]
+        if wname == "blur_kernel":  # fixed binomial kernel, computed statically
+            continue
+        target = batch_stats if wname.startswith("moving_") else params
+        _set(target, tuple(parts), value)
     out = {"params": params}
     if batch_stats:
         out["batch_stats"] = batch_stats
