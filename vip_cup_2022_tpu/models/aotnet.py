@@ -452,9 +452,13 @@ class AotNet(nn.Module):
 
     # ------------------------------------------------------------------
     @nn.compact
-    def __call__(self, x, training: bool = False, features_only: bool = False):
+    def __call__(self, x, training: bool = False, features_only: bool = False,
+                 feature_names: tuple = ()):
+        """feature_names: block-output names ("stack3_block2_output", ...) to
+        return as a pyramid list (kecam's named feature layers role)."""
         cfg = self.cfg
         act = cfg.activation
+        feats = {}
         x = preprocess_input(x, cfg)
 
         # stem (aot_stem :274-287)
@@ -524,6 +528,7 @@ class AotNet(nn.Module):
                     _per_stack(ratio, bid) if isinstance(ratio, (list, tuple)) else ratio,
                     dcr[sid][bid], block_cfg, name, training,
                 )
+                feats[name + "output"] = x
 
         if cfg.preact:
             x = self._bn_act(x, act, "post_", training=training)
@@ -531,6 +536,13 @@ class AotNet(nn.Module):
             x = self._conv_nb(x, cfg.output_num_features, 1, 1, "features_", padding="VALID")
             x = self._bn_act(x, act, "features_", training=training)
 
+        if feature_names:
+            missing_names = [n for n in feature_names if n not in feats]
+            if missing_names:
+                raise KeyError(
+                    f"unknown feature names {missing_names}; available: {sorted(feats)}"
+                )
+            return [feats[n] for n in feature_names]
         if features_only:
             return x
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))

@@ -38,6 +38,9 @@ BN_MOMENTUM = 0.03
 
 @dataclasses.dataclass(frozen=True)
 class YOLORConfig(ModelConfig):
+    # Optional registry backbone instead of yolor CSPDarknet (yolor.py:295-305)
+    backbone_name: str = ""
+    backbone_feature_names: Tuple[str, ...] = ()
     csp_depthes: Tuple[int, ...] = (2, 8, 8, 4)
     csp_channels: Tuple[int, ...] = (128, 256, 512, 1024)
     stem_width: int = -1  # -1 -> csp_channels[0] // 2
@@ -241,7 +244,19 @@ class YOLOR(nn.Module):
     def __call__(self, x, training: bool = False, features_only: bool = False):
         cfg = self.cfg
         x = preprocess_input(x, cfg)
-        features = self._backbone(x, training)
+        if cfg.backbone_name:
+            import dataclasses as _dc
+
+            from .registry import model_entry
+
+            bcls, bcfg = model_entry(cfg.backbone_name)
+            bcfg = _dc.replace(bcfg, nb_classes=0, input_size=cfg.input_size,
+                               mean=None, std=None, dtype=cfg.dtype)
+            features = bcls(bcfg, name="backbone")(
+                x, training=training, feature_names=cfg.backbone_feature_names
+            )
+        else:
+            features = self._backbone(x, training)
         if features_only:
             return features
         fpn = self._pafpn(features, training)
