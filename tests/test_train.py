@@ -210,3 +210,28 @@ def test_token_label_align_matches_reference(reference_models_path):
         y_ref = ref(token_label, **{k2: (np.array(v) if isinstance(v, bool) else v) for k2, v in kwargs.items()}).numpy()
         y = token_label_align(token_label, num_classes, 14, **kwargs)
         np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+def test_custom_json_dataset(tmp_path):
+    import json
+
+    import cv2
+
+    from vip_cup_2022_tpu.data import loaders_from_custom_json
+
+    rng = np.random.RandomState(0)
+    items = {"train": [], "validation": [], "info": {"num_classes": 3}}
+    for split, n in (("train", 8), ("validation", 4)):
+        for i in range(n):
+            p = str(tmp_path / f"{split}{i}.png")
+            cv2.imwrite(p, rng.randint(0, 255, (48, 48, 3), dtype=np.uint8))
+            items[split].append({"image": p, "label": int(i % 3)})
+    jpath = str(tmp_path / "data.json")
+    json.dump(items, open(jpath, "w"))
+
+    train, test, nc = loaders_from_custom_json(jpath, batch_size=4, target_shape=(64, 64))
+    assert nc == 3
+    xb, yb = next(iter(train))
+    assert xb.shape == (4, 64, 64, 3) and yb.shape == (4, 3)
+    xe, ye = next(iter(test))
+    assert xe.shape[1:] == (64, 64, 3) and ye.shape[-1] == 3

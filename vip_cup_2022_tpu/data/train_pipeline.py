@@ -201,3 +201,38 @@ class EvalLoader:
             )
             onehot = np.eye(self.nb_classes, dtype=np.float32)[self.labels[chunk]]
             yield batch, onehot
+
+
+def recognition_dataset_from_custom_json(data_path: str, with_info: bool = False):
+    """Custom-JSON dataset loader (reference imagenet/data.py:344-364):
+    {"train": [{"image": path, "label": int}, ...], "validation"|"test":
+    [...], "info": {"num_classes": N}}. Returns {"train": (paths, labels),
+    "<test_key>": (paths, labels)} (+ (total_images, num_classes) info)."""
+    import json
+
+    with open(data_path) as ff:
+        aa = json.load(ff)
+    test_key = "validation" if "validation" in aa else "test"
+    train, test, info = aa["train"], aa[test_key], aa["info"]
+
+    def split(items):
+        return [ii["image"] for ii in items], [int(ii["label"]) for ii in items]
+
+    dataset = {"train": split(train), test_key: split(test)}
+    if with_info:
+        return dataset, len(train), info["num_classes"]
+    return dataset
+
+
+def loaders_from_custom_json(data_path: str, batch_size: int = 32,
+                             target_shape=(224, 224), **kwargs):
+    """Build (TrainLoader, EvalLoader, num_classes) from a custom-JSON
+    dataset file (init_dataset custom-json path, data.py:430-470 role)."""
+    dataset, _, num_classes = recognition_dataset_from_custom_json(data_path, with_info=True)
+    test_key = "validation" if "validation" in dataset else "test"
+    train_paths, train_labels = dataset["train"]
+    test_paths, test_labels = dataset[test_key]
+    train = TrainLoader(train_paths, train_labels, num_classes, batch_size,
+                        target_shape, **kwargs)
+    test = EvalLoader(test_paths, test_labels, num_classes, batch_size, target_shape)
+    return train, test, num_classes
