@@ -273,6 +273,13 @@ class Trainer:
         verbose: int = 1,
     ):
         cfg = self.cfg
+        # accept re-iterable loaders directly (auto-wrap into factories)
+        if train_iter_fn is not None and not callable(train_iter_fn):
+            loader = train_iter_fn
+            train_iter_fn = lambda: iter(loader)  # noqa: E731
+        if val_iter_fn is not None and not callable(val_iter_fn):
+            vloader = val_iter_fn
+            val_iter_fn = lambda: iter(vloader)  # noqa: E731
         if self._step_fn is None:
             self._step_fn = self._build_step()
         if self._eval_fn is None and val_iter_fn is not None:
