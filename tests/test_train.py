@@ -235,3 +235,29 @@ def test_custom_json_dataset(tmp_path):
     assert xb.shape == (4, 64, 64, 3) and yb.shape == (4, 3)
     xe, ye = next(iter(test))
     assert xe.shape[1:] == (64, 64, 3) and ye.shape[-1] == 3
+
+
+def test_uint8_batches_rescaled(tiny_model):
+    """uint8 loader batches must reach the model as [0,1] floats, matching
+    pre-normalized float batches exactly (round-1 advisor finding)."""
+    module, variables, _ = tiny_model
+    cfg = TrainConfig(
+        epochs=1, steps_per_epoch=1, optimizer="adamw", loss="categorical",
+        monitor="loss",
+    )
+    x_u8 = np.random.RandomState(1).randint(0, 256, size=(8, 32, 32, 3), dtype=np.uint8)
+    y = np.eye(3, dtype=np.float32)[np.arange(8) % 3]
+    losses = {}
+    for key, batch in (("u8", x_u8), ("f32", x_u8.astype(np.float32) / 255.0)):
+        tr = Trainer(module, variables, cfg)
+        ev = tr._build_eval()
+        eloss, _ = ev(tr.params, tr.batch_stats, batch, y)
+        losses[key + "_eval"] = float(eloss)
+        step = tr._build_step()  # donates tr.params — run after eval
+        _, _, _, loss = step(
+            tr.params, tr.batch_stats, tr.opt_state,
+            jnp.asarray(1e-3, jnp.float32), batch, y, jax.random.PRNGKey(0),
+        )
+        losses[key] = float(loss)
+    assert losses["u8"] == pytest.approx(losses["f32"], abs=1e-6)
+    assert losses["u8_eval"] == pytest.approx(losses["f32_eval"], abs=1e-6)

@@ -22,15 +22,30 @@ def evaluate_csv(
     label_column: str = "label",
     pred_csv: Optional[str] = None,
     threshold: float = 0.487,
+    pred_format: str = "auto",
 ) -> Dict[str, float]:
     """Balanced accuracy of a prediction CSV against a labeled input CSV.
-    Both must carry a ``filename`` column; predictions under ``logit``."""
+    Both must carry a ``filename`` column; predictions under ``logit``.
+
+    ``pred_format``: ``"binary"`` (logit column is already 0/1 decisions,
+    the CLI's output format), ``"raw"`` (probabilities — binarize at
+    ``threshold``), or ``"auto"`` (legacy heuristic; ambiguous when raw
+    probabilities happen to take <=2 distinct values — prefer explicit).
+    """
     truth = pd.read_csv(input_csv)
     preds = pd.read_csv(pred_csv)
     merged = truth.merge(preds, on="filename", how="inner", suffixes=("", "_pred"))
     y_true = merged[label_column].values.astype(np.int64)
     logit = merged["logit"].values.astype(np.float64)
-    y_pred = (logit > threshold).astype(np.int64) if logit.max() > 1.0 or len(np.unique(logit)) > 2 else logit.astype(np.int64)
+    if pred_format == "raw":
+        binarize = True
+    elif pred_format == "binary":
+        binarize = False
+    elif pred_format == "auto":
+        binarize = logit.max() > 1.0 or len(np.unique(logit)) > 2
+    else:
+        raise ValueError(f"pred_format must be binary|raw|auto, got {pred_format!r}")
+    y_pred = (logit > threshold).astype(np.int64) if binarize else logit.astype(np.int64)
     return {
         "balanced_accuracy": balanced_accuracy_score(y_true, y_pred),
         "accuracy": float(np.mean(y_true == y_pred)),

@@ -108,7 +108,10 @@ class EnsembleEngine:
         self.compute_dtype = compute_dtype
         self.verbose = verbose
         self._decoder = ImageDecoder(num_threads=num_decode_threads)
-        self._decoded: Optional[List[np.ndarray]] = None  # shared across models
+        # decoded-image cache shared across ensemble members, keyed on the
+        # path list so a second predict on a different CSV re-decodes
+        self._decoded: Optional[List[np.ndarray]] = None
+        self._decoded_key: Optional[Tuple[str, ...]] = None
 
     # ------------------------------------------------------------------
     # data
@@ -117,13 +120,16 @@ class EnsembleEngine:
         """Decode every image once at NATIVE_SIZE (shared across the whole
         ensemble — the big structural win over the reference's per-model
         tf.data rebuild)."""
-        if self._decoded is None:
+        key = tuple(paths)
+        if self._decoded is None or self._decoded_key != key:
             imgs = self._decoder.decode_batch(paths)
             self._decoded = [_host_resize_uint8(im, NATIVE_SIZE) for im in imgs]
+            self._decoded_key = key
         return self._decoded
 
     def reset_cache(self):
         self._decoded = None
+        self._decoded_key = None
 
     # ------------------------------------------------------------------
     # per-model forward program

@@ -82,13 +82,20 @@ def create_model(
 
 
 def load_weights(model_path: str, model_name: str = ""):
-    """Load a variables pytree from a native or Keras-h5 checkpoint."""
+    """Load a variables pytree from a native, Keras-h5, or SavedModel
+    checkpoint (the three formats the reference's manifest resolves,
+    main.py:186-194)."""
     from ..utils.checkpoint import load_variables
+    from ..weights.savedmodel import savedmodel_dir
 
     if model_path.endswith((".h5", ".hdf5")):
         from ..weights.keras_h5 import convert_keras_h5
 
         return convert_keras_h5(model_path, model_name)
+    if savedmodel_dir(model_path):
+        from ..weights.savedmodel import convert_savedmodel
+
+        return convert_savedmodel(model_path, model_name)
     if os.path.isdir(model_path):
         candidate = os.path.join(model_path, "variables.msgpack")
         if os.path.isfile(candidate):
@@ -96,7 +103,19 @@ def load_weights(model_path: str, model_name: str = ""):
     return load_variables(model_path)
 
 
-def transfer_weights(src_vars, dst_vars, adapt_first_conv: bool = True, verbose: bool = False):
+# Destination paths matching any of these leaf modules are the classifier
+# head; shape mismatches there are the intended "classifier swap"
+# (tfimm factory.py:196-221) and never an error.
+_CLASSIFIER_MODULES = ("predictions", "head", "classifier", "logits")
+
+
+def transfer_weights(
+    src_vars,
+    dst_vars,
+    adapt_first_conv: bool = True,
+    verbose: bool = False,
+    on_mismatch: str = "warn",
+):
     """Copy matching-path weights from ``src_vars`` into ``dst_vars``.
 
     Reference semantics (tfimm factory.py:163-269):
@@ -104,14 +123,27 @@ def transfer_weights(src_vars, dst_vars, adapt_first_conv: bool = True, verbose:
     - first conv with different input-channel count -> adapt by summing /
       tiling the kernel over the channel axis (``_transform_first_conv``)
     - classifier shape mismatch -> keep destination init (classifier swap)
+
+    Unlike the reference's ``tf.keras.models.load_model`` a mapper regression
+    would otherwise fail *silently* (random-init weights -> wrong ensemble
+    outputs), so non-classifier destination params left at init are reported:
+    ``on_mismatch`` is ``"warn"`` (default, stderr summary), ``"raise"``, or
+    ``"silent"`` (intentional partial transfer).
     """
+    if on_mismatch not in ("warn", "raise", "silent"):
+        raise ValueError(f"on_mismatch must be warn|raise|silent, got {on_mismatch!r}")
     src = flatten_dict(unfreeze(src_vars))
     dst = flatten_dict(unfreeze(dst_vars))
     out = dict(dst)
+    missing, mismatched = [], []
     for path, value in dst.items():
+        name = "/".join(map(str, path))
+        is_classifier = any(m in path for m in _CLASSIFIER_MODULES)
         if path not in src:
+            if not is_classifier:
+                missing.append(name)
             if verbose:
-                print(f"[transfer] missing in src: {'/'.join(map(str, path))}")
+                print(f"[transfer] missing in src: {name}")
             continue
         sv = np.asarray(src[path])
         if sv.shape == value.shape:
@@ -119,11 +151,25 @@ def transfer_weights(src_vars, dst_vars, adapt_first_conv: bool = True, verbose:
         elif adapt_first_conv and sv.ndim == 4 and sv.shape[:2] == tuple(value.shape[:2]) and sv.shape[3] == value.shape[3]:
             out[path] = jnp.asarray(_adapt_in_channels(sv, value.shape[2]), dtype=value.dtype)
         else:
+            if not is_classifier:
+                mismatched.append(f"{name}: {sv.shape} -> {tuple(value.shape)}")
             if verbose:
                 print(
-                    f"[transfer] shape mismatch {'/'.join(map(str, path))}: "
+                    f"[transfer] shape mismatch {name}: "
                     f"{sv.shape} -> {value.shape} (keeping dst init)"
                 )
+    if (missing or mismatched) and on_mismatch != "silent":
+        msg = (
+            f"transfer_weights: {len(missing)} param(s) missing from source, "
+            f"{len(mismatched)} shape-mismatched (kept at random init): "
+            + "; ".join((missing + mismatched)[:8])
+            + (" ..." if len(missing) + len(mismatched) > 8 else "")
+        )
+        if on_mismatch == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return freeze(unflatten_dict(out)) if hasattr(dst_vars, "unfreeze") else unflatten_dict(out)
 
 

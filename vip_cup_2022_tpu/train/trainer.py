@@ -141,8 +141,10 @@ class Trainer:
 
         def train_step(params, batch_stats, opt_state, lr, images, labels, rng):
             rng_mix, rng_drop = jax.random.split(rng)
+            # uint8 loader batches (data/train_pipeline.py) -> [0,1] floats;
+            # already-float batches pass through untouched
             x = images.astype(jnp.float32)
-            if x.dtype != jnp.float32:
+            if images.dtype == jnp.uint8:
                 x = x / 255.0
             if cfg.mixup_alpha or cfg.cutmix_alpha:
                 x, labels = mixup_cutmix(rng_mix, x, labels, cfg.mixup_alpha, cfg.cutmix_alpha)
@@ -190,6 +192,8 @@ class Trainer:
 
         def eval_step(params, batch_stats, images, labels):
             x = images.astype(jnp.float32)
+            if images.dtype == jnp.uint8:
+                x = x / 255.0
             out = module.apply({"params": params, "batch_stats": batch_stats}, x)
             out = out.astype(jnp.float32)
             loss = self._loss(labels, out)

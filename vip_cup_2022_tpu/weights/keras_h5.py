@@ -68,26 +68,31 @@ def _set(tree: Dict, path, value):
     node[path[-1]] = value
 
 
-def convert_keras_h5(path: str, model_name: str, mapper: str = ""):
-    """Convert an h5 checkpoint to a variables pytree using the family mapper
-    registered for ``model_name`` (or the explicitly named ``mapper`` — used
-    when a name prefix is ambiguous, e.g. timm 'resnet50' vs kecam
-    'resnet50d'; manifest sidecars may set {"mapper": "..."})."""
-    weights = {_dedupe_layer_prefix(k): v for k, v in read_keras_h5(path).items()}
+def apply_weight_mapper(weights: Dict[str, np.ndarray], model_name: str, mapper: str = ""):
+    """Map a flat {'layer/weight': array} dict onto the Flax variables pytree
+    using the family mapper registered for ``model_name`` (or the explicitly
+    named ``mapper`` — used when a name prefix is ambiguous, e.g. timm
+    'resnet50' vs kecam 'resnet50d'; manifest sidecars may set {"mapper": ...})."""
     key = model_name.lower()
     if mapper:
         return _WEIGHT_MAPPERS[mapper.lower()](weights, model_name)
-    mapper = None
-    for prefix, fn in sorted(_WEIGHT_MAPPERS.items(), key=lambda kv: -len(kv[0])):
+    fn = None
+    for prefix, candidate in sorted(_WEIGHT_MAPPERS.items(), key=lambda kv: -len(kv[0])):
         if key.startswith(prefix):
-            mapper = fn
+            fn = candidate
             break
-    if mapper is None:
+    if fn is None:
         raise KeyError(
             f"no weight mapper registered for '{model_name}' "
             f"(have: {sorted(_WEIGHT_MAPPERS)})"
         )
-    return mapper(weights, model_name)
+    return fn(weights, model_name)
+
+
+def convert_keras_h5(path: str, model_name: str, mapper: str = ""):
+    """Convert an h5 checkpoint to a variables pytree via the family mapper."""
+    weights = {_dedupe_layer_prefix(k): v for k, v in read_keras_h5(path).items()}
+    return apply_weight_mapper(weights, model_name, mapper)
 
 
 # ---------------------------------------------------------------------------
