@@ -37,3 +37,91 @@ def test_fused_preprocess_identity_size():
     u8 = jnp.zeros((1, 32, 32, 3), jnp.uint8)
     out = fused_preprocess(u8, (32, 32), None, None, out_dtype=jnp.float32)
     assert out.shape == (1, 32, 32, 3)
+
+
+class TestFusedConvNeXtBlock:
+    def _args(self, C, rng):
+        import jax.numpy as jnp
+
+        return [
+            jnp.asarray(rng.uniform(-0.2, 0.2, s).astype(np.float32))
+            for s in [(7, 7, C), (C,), (C,), (C,), (C, 4 * C), (4 * C,), (4 * C, C), (C,), (C,)]
+        ]
+
+    def _reference(self, x, args, C):
+        import jax
+        import jax.numpy as jnp
+
+        dw, dwb, g, bt, w1, b1, w2, b2, ls = args
+        y = jax.lax.conv_general_dilated(
+            x, dw[:, :, None, :], (1, 1), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        ) + dwb
+        m = y.mean(-1, keepdims=True)
+        v = ((y - m) ** 2).mean(-1, keepdims=True)
+        y = (y - m) * jax.lax.rsqrt(v + 1e-6) * g + bt
+        h = jax.nn.gelu(y @ w1 + b1, approximate=False)
+        return x + (h @ w2 + b2) * ls
+
+    @pytest.mark.parametrize("C", [16, 256])
+    def test_whole_block_matches_reference(self, C):
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.convnext_block import fused_convnext_block
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 9, 9, C)).astype(np.float32))
+        args = self._args(C, rng)
+        out = fused_convnext_block(x, *args, interpret=True)
+        ref = self._reference(x, args, C)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+    def test_ragged_row_tile(self):
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.convnext_block import fused_convnext_block
+
+        rng = np.random.RandomState(1)
+        C = 16
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 13, 11, C)).astype(np.float32))
+        args = self._args(C, rng)
+        out = fused_convnext_block(x, *args, row_tile=5, interpret=True)
+        ref = self._reference(x, args, C)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+    def test_blockdiag_dw_matches_depthwise(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.convnext_block import blockdiag_dw7x7
+
+        rng = np.random.RandomState(2)
+        C = 24
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 11, 11, C)).astype(np.float32))
+        k = jnp.asarray(rng.uniform(-0.2, 0.2, (7, 7, C)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(-0.1, 0.1, (C,)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, k[:, :, None, :], (1, 1), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        ) + b
+        out = blockdiag_dw7x7(x, k, b, group=8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_model_fused_gate_matches_unfused(self):
+        """ConvNeXt with the fused C>=256 path produces the same output as
+        the plain Flax path (interpret-mode pallas on CPU)."""
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.models import create_model
+
+        rng = np.random.RandomState(3)
+        kw = dict(
+            input_size=(32, 32), nb_classes=3, nb_blocks=(1, 1, 1, 1),
+            embed_dim=(32, 64, 256, 512),
+        )
+        m1, v1, _ = create_model("convnext_tiny_in22k", fused_block=True, **kw)
+        m0, _, _ = create_model("convnext_tiny_in22k", fused_block=False, init=False, **kw)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+        y1 = m1.apply(v1, x)
+        y0 = m0.apply(v1, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)

@@ -42,6 +42,24 @@ class ConvNeXtConfig(ModelConfig):
     init_scale: float = 1e-6
     crop_pct: float = 0.875
     classifier_activation: Optional[str] = "softmax"
+    # fused whole-block Pallas kernel (ops/pallas/convnext_block.py) on the
+    # inference path: None = auto (TPU backend, dense-MLP flavor), or
+    # force on/off. Training always uses the unfused path (XLA-derived grads).
+    fused_block: Optional[bool] = None
+
+
+def _use_fused_block(cfg, training: bool) -> bool:
+    import os
+
+    if training or cfg.conv_mlp_block or cfg.act_layer != "gelu" or cfg.drop_rate:
+        return False
+    if cfg.fused_block is not None:
+        return cfg.fused_block
+    if os.environ.get("VIPTPU_NO_FUSED_BLOCK"):
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 class ConvNeXtBlock(nn.Module):
@@ -53,6 +71,32 @@ class ConvNeXtBlock(nn.Module):
     def __call__(self, x, training: bool = False):
         cfg = self.cfg
         c = self.embed_dim
+        # fused whole-block kernel pays off only at C >= 256 (few positions,
+        # wide channels: stages 3-4). At stage-1/2 widths the VPU depthwise
+        # taps and the XLA<->pallas relayouts cost more than they save
+        # (measured v5e: 83 ms/block hybrid vs 24 ms pure-XLA at 99x99x96).
+        if c >= 256 and _use_fused_block(cfg, training) and not self.is_initializing():
+            # whole-block Pallas kernel; params already exist during apply
+            # (init always takes the unfused path below, creating them)
+            import jax
+
+            from ..ops.pallas.convnext_block import fused_convnext_block
+
+            p = self.variables["params"]
+            return fused_convnext_block(
+                x,
+                p["conv_dw"]["kernel"][:, :, 0, :],
+                p["conv_dw"]["bias"],
+                p["norm"]["gamma"],
+                p["norm"]["beta"],
+                p["mlp_fc1"]["kernel"],
+                p["mlp_fc1"]["bias"],
+                p["mlp_fc2"]["kernel"],
+                p["mlp_fc2"]["bias"],
+                p["gamma"],
+                eps=cfg.norm_eps,
+                interpret=jax.default_backend() != "tpu",
+            )
         shortcut = x
         x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
         x = nn.Conv(

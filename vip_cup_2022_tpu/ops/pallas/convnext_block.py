@@ -1,0 +1,280 @@
+"""Fused ConvNeXt block kernel (inference hot path).
+
+One ConvNeXt block is ``x + ls_gamma * pw2(gelu(pw1(LN(dw7x7(x)))))``
+(reference tfimm architectures/convnext.py:147-229). Under plain XLA each
+piece round-trips the (B, H, W, C) activation through HBM — at the team's
+stride-2 stem resolution (99x99x96 for a 200x200 input) the block is
+bandwidth-bound and measured ~24 ms per 256-batch on v5e (~4x slower than
+its FLOP cost). This kernel performs the WHOLE block in one VMEM pass:
+
+- grid = (batch, row-tiles); the block input is the full padded image
+  (a few MB — fits VMEM for every ConvNeXt stage at 200/224-px inputs),
+  revisited across that image's row-tiles so pallas fetches it once
+- depthwise 7x7 = 49 unrolled VPU multiply-adds over halo'd row slices
+  of the image ref (f32 accumulate)
+- LayerNorm over C in f32, masked for lane padding (ops/norms.py parity)
+- pointwise MLP as two MXU matmuls ((TILE*W, C) @ (C, 4C) and back),
+  exact-erf GELU between, f32 accumulation
+- layer-scale + residual, single store of the output row-tile
+
+Channels are zero-padded to a 128-lane multiple before the call: Mosaic
+mis-compiles bf16 matmuls whose LHS is a reshape of a lane-unaligned load
+(observed on v5e: K=96/192 crash the backend compiler; K=384/768 are fine).
+All padded weight/param lanes are zero so padded output lanes are exactly 0;
+the caller slices them off. LN statistics divide by the REAL channel count
+and use E[x^2]-E[x]^2 over the zero-padded lanes.
+
+HBM traffic drops from ~10 tensor round-trips to read-once/write-once.
+Inference-only: no custom VJP — training uses the unfused Flax path, whose
+gradients XLA derives.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _erf(x):
+    """erf from exp (Mosaic lowers neither erf nor erfc). Abramowitz-Stegun
+    7.1.26 rational approximation, |error| <= 1.5e-7 — far below the bf16
+    output precision."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_row_tile(h: int, w: int, c: int, hidden: int) -> int:
+    """Largest row tile whose f32 temporaries fit a ~4 MB scratch budget
+    (the full image block + weights occupy VMEM separately)."""
+    budget = 4 * 1024 * 1024
+    best = 1
+    for t in range(1, h + 1):
+        acc = t * w * c * 4            # f32 dw/LN accumulator
+        hid = t * w * hidden * 4       # f32 MLP hidden
+        if acc + hid <= budget:
+            best = t
+    for t in range(best, 0, -1):  # prefer exact divisor: no ragged tile
+        if h % t == 0:
+            return t
+    return best
+
+
+def _kernel(x_ref, wdw_ref, dwb_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
+            w2_ref, b2_ref, ls_ref, out_ref, *, th: int, w: int, cp: int,
+            c_real: int, eps: float):
+    r = pl.program_id(1)
+    r0 = r * th
+
+    # depthwise 7x7: 49 shifted multiply-adds on the VPU, f32 accumulate.
+    # x_ref holds the full padded image; rows [r0+dy, r0+dy+th) are the
+    # halo'd slice for output rows [r0, r0+th).
+    acc = jnp.zeros((th, w, cp), jnp.float32)
+    for dy in range(7):
+        rows = x_ref[0, pl.ds(r0 + dy, th)]  # (th, w+6, cp)
+        rows = rows.astype(jnp.float32)
+        for dx in range(7):
+            acc = acc + rows[:, dx : dx + w, :] * wdw_ref[dy, dx, :]
+    acc = acc + dwb_ref[:]
+
+    # LayerNorm over the REAL channels (padded lanes are exactly 0, so the
+    # plain sums are already masked; divide by c_real, var = E[x^2]-E[x]^2)
+    inv_c = 1.0 / c_real
+    mean = acc.sum(axis=-1, keepdims=True) * inv_c
+    var = (acc * acc).sum(axis=-1, keepdims=True) * inv_c - mean * mean
+    y = (acc - mean) * jax.lax.rsqrt(var + eps)
+    y = y * lng_ref[:] + lnb_ref[:]  # padded gamma/beta are 0 -> y_pad = 0
+
+    # pointwise MLP on the MXU
+    y2 = y.astype(out_ref.dtype).reshape(th * w, cp)
+    h = jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:]
+    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))  # exact-erf GELU
+    o = jnp.dot(h.astype(out_ref.dtype), w2_ref[:],
+                preferred_element_type=jnp.float32)
+    o = o + b2_ref[:]
+
+    # layer-scale + residual from the image centre
+    res = x_ref[0, pl.ds(r0 + 3, th), 3 : 3 + w, :].astype(jnp.float32)
+    o = o.reshape(th, w, cp) * ls_ref[:] + res
+    out_ref[:] = o.astype(out_ref.dtype)[None]
+
+
+def _lnmlp_kernel(x_ref, r_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                  b2_ref, ls_ref, o_ref, *, c_real: int, eps: float):
+    xf = x_ref[:].astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * lng_ref[:] + lnb_ref[:]
+    h = jnp.dot(y.astype(o_ref.dtype), w1_ref[:],
+                preferred_element_type=jnp.float32)
+    h = h + b1_ref[:]
+    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))  # exact-erf GELU
+    o = jnp.dot(h.astype(o_ref.dtype), w2_ref[:],
+                preferred_element_type=jnp.float32)
+    o = (o + b2_ref[:]) * ls_ref[:]
+    o_ref[:] = (o + r_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_ln_mlp_residual(
+    dw_out: jax.Array,      # (B, H, W, C) — depthwise-conv output
+    residual: jax.Array,    # (B, H, W, C) — the block input
+    ln_gamma, ln_beta, w1, b1, w2, b2, ls_gamma,
+    *,
+    eps: float = 1e-6,
+    row_tile: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """LN -> MLP -> layer-scale -> +residual over flattened positions (the
+    post-conv two thirds of a ConvNeXt block) in one VMEM pass. Positions are
+    independent, so this is a simple 1-D row tiling with no halo."""
+    bsz, h, w, c = dw_out.shape
+    n = bsz * h * w
+    x2 = dw_out.reshape(n, c)
+    r2 = residual.reshape(n, c)
+    hidden = w1.shape[1]
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    kern = functools.partial(_lnmlp_kernel, c_real=c, eps=eps)
+    t = row_tile
+    out = pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(n, t),),
+        in_specs=[
+            pl.BlockSpec((t, c), lambda i: (i, 0)),
+            pl.BlockSpec((t, c), lambda i: (i, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c, hidden), lambda i: (0, 0)),
+            pl.BlockSpec((hidden,), lambda i: (0,)),
+            pl.BlockSpec((hidden, c), lambda i: (0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((t, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c), dw_out.dtype),
+        interpret=interpret,
+    )(
+        x2, r2, f32(ln_gamma), f32(ln_beta),
+        jnp.asarray(w1, dw_out.dtype), f32(b1),
+        jnp.asarray(w2, dw_out.dtype), f32(b2), f32(ls_gamma),
+    )
+    return out.reshape(bsz, h, w, c)
+
+
+def blockdiag_dw7x7(x: jax.Array, dw_kernel: jax.Array, dw_bias: jax.Array,
+                    group: int = 8) -> jax.Array:
+    """Depthwise 7x7 via a block-diagonal grouped conv. XLA's true-depthwise
+    lowering (feature_group_count=C) runs ~9.8 ms on a (256,99,99,96) bf16
+    batch on v5e; embedding the same taps on the diagonal of a
+    (7,7,group,C) kernel with feature_group_count=C/group lands on the MXU
+    and measures ~6.1 ms at group=8. Numerically identical (off-diagonal
+    taps are exactly zero)."""
+    c = x.shape[-1]
+    g = group if c % group == 0 else 1
+    if g == 1:
+        kern = dw_kernel[:, :, None, :]
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g, c), 0)
+        chan = jax.lax.broadcasted_iota(jnp.int32, (g, c), 1)
+        mask = (chan % g == lane).astype(dw_kernel.dtype)
+        kern = dw_kernel[:, :, None, :] * mask[None, None]
+    out = jax.lax.conv_general_dilated(
+        x, kern.astype(x.dtype), (1, 1), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c // g,
+    )
+    return out + dw_bias.astype(out.dtype)
+
+
+def fused_convnext_block(
+    x: jax.Array,
+    dw_kernel: jax.Array,   # (7, 7, C)
+    dw_bias: jax.Array,     # (C,)
+    ln_gamma: jax.Array,    # (C,)
+    ln_beta: jax.Array,     # (C,)
+    w1: jax.Array,          # (C, hidden)
+    b1: jax.Array,          # (hidden,)
+    w2: jax.Array,          # (hidden, C)
+    b2: jax.Array,          # (C,)
+    ls_gamma: jax.Array,    # (C,) layer-scale
+    *,
+    eps: float = 1e-6,
+    row_tile: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused whole ConvNeXt block; x is (B, H, W, C), returns same.
+
+    Pays off at C >= 256 (stages 3-4: few positions, wide channels), where
+    the VPU depthwise taps are cheap and the single VMEM pass beats XLA
+    ~1.5x (measured v5e, 256-batch: 5.3 vs 8.0 ms and 3.6 vs 5.2 ms per
+    block). At stage-1/2 widths (99x99x96, 49x49x192) the taps are VPU-bound
+    (~16 GFLOP) and this kernel only ties XLA (25.5 vs 24 ms) — the model
+    gates it to C >= 256 (models/convnext.py). Hybrid XLA-conv + pallas-MLP
+    splits lose badly to layout relayouts at every boundary (83 ms/block
+    measured), which is why the dispatch is all-or-nothing per block.
+    """
+    bsz, h, w, c = x.shape
+    hidden = w1.shape[1]
+    cp = _round_up(c, 128)
+    hp_ = _round_up(hidden, 128)
+    th = row_tile or _pick_row_tile(h, w, cp, hp_)
+    n_tiles = pl.cdiv(h, th)
+    # pre-pad: 3 halo rows/cols each side, bottom rows so a ragged last
+    # tile's reads stay in bounds, channels to the 128-lane multiple
+    # (XLA fuses the pad into the producer)
+    pad_rows = n_tiles * th - h
+    xp = jnp.pad(x, ((0, 0), (3, 3 + pad_rows), (3, 3), (0, cp - c)))
+    hrows, wcols = xp.shape[1], xp.shape[2]
+
+    def padded(a, target_shape):
+        pads = tuple((0, t - s) for s, t in zip(a.shape, target_shape))
+        return jnp.pad(a, pads)
+
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    kern = functools.partial(_kernel, th=th, w=w, cp=cp, c_real=c, eps=eps)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            # full padded image, revisited across this image's row-tiles —
+            # pallas fetches it into VMEM once per batch index
+            pl.BlockSpec((1, hrows, wcols, cp), lambda b, r: (b, 0, 0, 0)),
+            pl.BlockSpec((7, 7, cp), lambda b, r: (0, 0, 0)),
+            pl.BlockSpec((cp,), lambda b, r: (0,)),
+            pl.BlockSpec((cp,), lambda b, r: (0,)),
+            pl.BlockSpec((cp,), lambda b, r: (0,)),
+            pl.BlockSpec((cp, hp_), lambda b, r: (0, 0)),
+            pl.BlockSpec((hp_,), lambda b, r: (0,)),
+            pl.BlockSpec((hp_, cp), lambda b, r: (0, 0)),
+            pl.BlockSpec((cp,), lambda b, r: (0,)),
+            pl.BlockSpec((cp,), lambda b, r: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, cp), lambda b, r: (b, r, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cp), x.dtype),
+        interpret=interpret,
+    )(
+        xp,
+        padded(f32(dw_kernel), (7, 7, cp)),
+        padded(f32(dw_bias), (cp,)),
+        padded(f32(ln_gamma), (cp,)),
+        padded(f32(ln_beta), (cp,)),
+        padded(jnp.asarray(w1, x.dtype), (cp, hp_)),
+        padded(f32(b1), (hp_,)),
+        padded(jnp.asarray(w2, x.dtype), (hp_, cp)),
+        padded(f32(b2), (cp,)),
+        padded(f32(ls_gamma), (cp,)),
+    )
+    return out[..., :c] if cp != c else out
