@@ -125,3 +125,53 @@ class TestFusedConvNeXtBlock:
         y1 = m1.apply(v1, x)
         y0 = m0.apply(v1, x)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+
+
+class TestFusedGCViTBlock:
+    def test_model_fused_matches_unfused(self):
+        """GCViT with the fused window-block pipeline (LN+qkv -> grouped
+        block-diagonal attention -> proj/LN/MLP) matches the Flax path,
+        covering both local and global-query blocks."""
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.models import create_model
+
+        rng = np.random.RandomState(0)
+        kw = dict(
+            input_size=(224, 224), nb_classes=3, depths=(2, 2, 2, 2), dim=32,
+            num_heads=(1, 2, 4, 8),
+        )
+        m1, v1, _ = create_model("gcvit_xxtiny", fused_block=True, **kw)
+        m0, _, _ = create_model("gcvit_xxtiny", fused_block=False, init=False, **kw)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 224, 224, 3)).astype(np.float32))
+        y1 = m1.apply(v1, x)
+        y0 = m0.apply(v1, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+
+    def test_grouped_attention_matches_einsum(self):
+        """Block-diagonal grouping == independent per-window attentions."""
+        import jax
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.gcvit_block import grouped_window_attention
+
+        rng = np.random.RandomState(1)
+        b, nwin, n, heads, hd = 2, 4, 9, 2, 8
+        c = heads * hd
+        mk = lambda: jnp.asarray(rng.uniform(-1, 1, (b, nwin * n, c)).astype(np.float32))
+        q, k, v = mk(), mk(), mk()
+        bias = jnp.asarray(rng.uniform(-1, 1, (heads, n, n)).astype(np.float32))
+        scale = hd ** -0.5
+
+        out = grouped_window_attention(
+            q, k, v, heads, n, bias=bias, scale=scale, group=2, interpret=True
+        )
+
+        qh = q.reshape(b * nwin, n, heads, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(b * nwin, n, heads, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(b * nwin, n, heads, hd).transpose(0, 2, 1, 3)
+        s = jnp.einsum("whnd,whmd->whnm", qh * scale, kh) + bias[None]
+        p = jax.nn.softmax(s, axis=-1)
+        ref = jnp.einsum("whnm,whmd->whnd", p, vh).transpose(0, 2, 1, 3)
+        ref = ref.reshape(b, nwin * n, c)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -81,8 +81,11 @@ def color(img, factor):
 
 
 def contrast(img, factor):
-    w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
-    mean = jnp.mean(jnp.sum(img * w, axis=-1))
+    # reference quirk (imagenet/augment.py:296-297, inherited from the
+    # upstream TF-TPU autoaugment): the blend target is
+    # sum(histogram)/256 = num_pixels/256 — NOT the mean intensity.
+    # Replicated for behavioral parity with reference-trained models.
+    mean = img.shape[0] * img.shape[1] / 256.0
     return _blend(img, jnp.full_like(img, mean), factor)
 
 
@@ -304,6 +307,128 @@ def rand_augment(
         if use_cutout:
             img = cutout(jax.random.fold_in(rng, 7), img, int(cutout_const))
         return img
+
+    keys = jax.random.split(rng, b)
+    out = jax.vmap(per_image)(keys, imgs255)
+    return jnp.clip(out / 255.0, 0.0, 1.0).astype(images.dtype)
+
+
+# ---------------------------------------------------------------------------
+# AutoAugment (reference imagenet/augment.py:704-1025)
+# ---------------------------------------------------------------------------
+
+# (op, probability, magnitude) pairs; each sub-policy applies its two ops in
+# sequence, each gated by its own Bernoulli draw (augment.py policy_v0 :938).
+AUTOAUGMENT_POLICIES = {
+    "v0": (
+        (("Color", 0.4, 9), ("Equalize", 0.6, 3)),
+        (("Solarize", 0.8, 3), ("Equalize", 0.4, 7)),
+        (("Solarize", 0.4, 2), ("Solarize", 0.6, 2)),
+        (("Color", 0.2, 0), ("Equalize", 0.8, 8)),
+        (("Equalize", 0.4, 8), ("SolarizeAdd", 0.8, 3)),
+        (("Color", 0.6, 1), ("Equalize", 1.0, 2)),
+        (("Color", 0.4, 7), ("Equalize", 0.6, 0)),
+        (("Posterize", 0.4, 6), ("AutoContrast", 0.4, 7)),
+        (("Solarize", 0.6, 8), ("Color", 0.6, 9)),
+        (("Equalize", 0.8, 4), ("Equalize", 0.0, 8)),
+        (("Equalize", 1.0, 4), ("AutoContrast", 0.6, 2)),
+        (("Posterize", 0.8, 2), ("Solarize", 0.6, 10)),
+        (("Solarize", 0.6, 8), ("Equalize", 0.6, 1)),
+        (("Equalize", 0.8, 1), ("ShearY", 0.8, 4)),
+        (("Color", 0.4, 1), ("Rotate", 0.6, 8)),
+        (("ShearX", 0.2, 9), ("Rotate", 0.6, 8)),
+        (("Invert", 0.4, 9), ("Rotate", 0.6, 0)),
+        (("Equalize", 1.0, 9), ("ShearY", 0.6, 3)),
+        (("Solarize", 0.2, 4), ("Rotate", 0.8, 9)),
+        (("Rotate", 1.0, 7), ("TranslateY", 0.8, 9)),
+        (("ShearX", 0.0, 0), ("Solarize", 0.8, 4)),
+        (("ShearY", 0.8, 0), ("Color", 0.6, 4)),
+        (("Color", 1.0, 0), ("Rotate", 0.6, 2)),
+        (("ShearY", 0.4, 7), ("SolarizeAdd", 0.6, 7)),
+        (("Color", 0.8, 6), ("Rotate", 0.4, 5)),
+    ),
+}
+# policy_simple = v0 with the geometric (custom-op) sub-policies removed
+AUTOAUGMENT_POLICIES["simple"] = AUTOAUGMENT_POLICIES["v0"][:13]
+# policy_positional = only the geometric sub-policies (augment.py :1003)
+AUTOAUGMENT_POLICIES["positional"] = AUTOAUGMENT_POLICIES["v0"][13:]
+AUTOAUGMENT_POLICIES["test"] = ((("TranslateX", 1.0, 4), ("Equalize", 1.0, 10)),)
+
+
+def _auto_op(name, rng, img, level, cutout_const, translate_const):
+    """One AutoAugment op with the v0 LEVEL_TO_ARG rules (augment.py:613-701).
+    ``name``/``level`` are static; only the sign / cutout position draw rng."""
+    lvl = level / _MAX_LEVEL
+    sign = jnp.where(jax.random.uniform(rng) < 0.5, -1.0, 1.0)
+    if name == "AutoContrast":
+        return autocontrast(img)
+    if name == "Equalize":
+        return equalize(img)
+    if name == "Invert":
+        return invert(img)
+    if name == "Rotate":
+        return rotate(img, sign * lvl * 30.0)
+    if name == "Posterize":
+        return posterize(img, jnp.asarray(int(lvl * 4), jnp.float32))
+    if name == "Solarize":
+        return solarize(img, float(int(lvl * 256)))
+    if name == "SolarizeAdd":
+        return solarize_add(img, float(int(lvl * 110)))
+    if name in ("Color", "Contrast", "Brightness", "Sharpness"):
+        factor = lvl * 1.8 + 0.1  # _enhance_level_to_arg (no negate)
+        return {"Color": color, "Contrast": contrast,
+                "Brightness": brightness, "Sharpness": sharpness}[name](img, factor)
+    if name == "ShearX":
+        return shear_x(img, sign * lvl * 0.3)
+    if name == "ShearY":
+        return shear_y(img, sign * lvl * 0.3)
+    if name == "TranslateX":
+        return translate_x(img, sign * lvl * translate_const)
+    if name == "TranslateY":
+        return translate_y(img, sign * lvl * translate_const)
+    if name == "Cutout":
+        return cutout(rng, img, int(lvl * cutout_const))
+    raise KeyError(f"unknown AutoAugment op {name!r}")
+
+
+def auto_augment(
+    rng,
+    images,
+    policy: str = "v0",
+    cutout_const: float = 100.0,
+    translate_const: float = 250.0,
+):
+    """Batched AutoAugment on [0,1] float images (AutoAugment paper policy;
+    reference ``AutoAugment`` class, augment.py:838-1025). Per image one
+    sub-policy is drawn uniformly (``lax.switch``) and its two ops applied in
+    sequence, each gated by its static probability — the policy table is
+    trace-time constant, so the whole batch is one compiled program."""
+    if policy not in AUTOAUGMENT_POLICIES:
+        raise ValueError(
+            f"unknown policy {policy!r} (have {sorted(AUTOAUGMENT_POLICIES)})"
+        )
+    subs = AUTOAUGMENT_POLICIES[policy]
+    b = images.shape[0]
+    imgs255 = images.astype(jnp.float32) * 255.0
+
+    def make_branch(sub):
+        def branch(args):
+            rng, img = args
+            for i, (name, prob, level) in enumerate(sub):
+                key = jax.random.fold_in(rng, i)
+                k_gate, k_op = jax.random.split(key)
+                out = _auto_op(name, k_op, img, float(level), cutout_const, translate_const)
+                img = jnp.where(jax.random.uniform(k_gate) < prob, out, img)
+            return img
+
+        return branch
+
+    branches = [make_branch(s) for s in subs]
+
+    def per_image(rng, img):
+        k_sel, k_ops = jax.random.split(rng)
+        idx = jax.random.randint(k_sel, (), 0, len(subs))
+        return jax.lax.switch(idx, branches, (k_ops, img))
 
     keys = jax.random.split(rng, b)
     out = jax.vmap(per_image)(keys, imgs255)

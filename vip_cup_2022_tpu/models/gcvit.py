@@ -54,6 +54,23 @@ class GCViTConfig(ModelConfig):
     mean: Optional[Tuple[float, ...]] = None
     std: Optional[Tuple[float, ...]] = None
     classifier_activation: Optional[str] = "softmax"
+    # fused window-transformer-block Pallas pipeline (ops/pallas/gcvit_block)
+    # on the inference path: None = auto (TPU backend), or force on/off.
+    fused_block: Optional[bool] = None
+
+
+def _use_fused_block(cfg, training: bool) -> bool:
+    import os
+
+    if training or cfg.drop_rate or cfg.attn_drop:
+        return False
+    if cfg.fused_block is not None:
+        return cfg.fused_block
+    if os.environ.get("VIPTPU_NO_FUSED_BLOCK"):
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 class SE(nn.Module):
@@ -149,6 +166,9 @@ class GCViTBlock(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
 
+        if _use_fused_block(cfg, training) and not self.is_initializing():
+            return self._fused(x, q_global)
+
         shortcut = x
         y = LayerNorm(epsilon=1e-5, name="norm1")(x)
         y = window_partition(y, ws)
@@ -180,6 +200,50 @@ class GCViTBlock(nn.Module):
         )(LayerNorm(epsilon=1e-5, name="norm2")(x), training=training)
         x = x + DropPath(self.path_drop, name="drop_path2")(gamma2 * m, training=training)
         return x
+
+    def _fused(self, x, q_global):
+        """Whole-block fused Pallas pipeline (inference; params already exist
+        during apply — init always runs the Flax path above, creating them).
+        See ops/pallas/gcvit_block.py for the kernel structure."""
+        import jax
+
+        from ..ops.attention import relative_position_index
+        from ..ops.pallas.gcvit_block import fused_window_transformer_block
+
+        cfg = self.cfg
+        b, h, w, c = x.shape
+        ws = self.window_size
+        p = self.variables["params"]
+        attn = p["attn"]
+
+        table = attn["relative_position_bias_table"]
+        idx = relative_position_index(ws, ws).reshape(-1)
+        bias = table[idx].reshape(ws * ws, ws * ws, self.num_heads)
+        bias = jnp.transpose(bias, (2, 0, 1))  # (heads, N, N)
+
+        sc = attn["qkv"]["kernel"].shape[1]
+        bqkv = attn["qkv"].get("bias", jnp.zeros((sc,), jnp.float32))
+        gamma1 = p.get("gamma1") if cfg.layer_scale is not None else None
+        gamma2 = p.get("gamma2") if cfg.layer_scale is not None else None
+
+        xw = window_partition(x, ws).reshape(b, -1, c)  # (B, nWin*N, C)
+        out = fused_window_transformer_block(
+            xw,
+            heads=self.num_heads,
+            n=ws * ws,
+            ln1_g=p["norm1"]["gamma"], ln1_b=p["norm1"]["beta"],
+            wqkv=attn["qkv"]["kernel"], bqkv=bqkv,
+            bias=bias,
+            wp=attn["proj"]["kernel"], bp=attn["proj"]["bias"],
+            ln2_g=p["norm2"]["gamma"], ln2_b=p["norm2"]["beta"],
+            w1=p["mlp"]["fc1"]["kernel"], b1=p["mlp"]["fc1"]["bias"],
+            w2=p["mlp"]["fc2"]["kernel"], b2=p["mlp"]["fc2"]["bias"],
+            gamma1=gamma1, gamma2=gamma2,
+            scale=cfg.qk_scale,
+            q_global=q_global,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
 
 
 class GCViTLevel(nn.Module):

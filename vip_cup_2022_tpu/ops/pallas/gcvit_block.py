@@ -1,0 +1,296 @@
+"""Fused GCViT/Swin window-transformer block (inference hot path).
+
+A GCViT block (reference models/gcvit/layers/block.py:10-99) is
+
+    x = x + g1 * WindowAttention(LN1(x))          # per 7x7/14x14 window
+    x = x + g2 * MLP(LN2(x))
+
+Under XLA at level-1 scale (256 x 56x56x64, window 7) one block measures
+~21.7 ms: the (B*nWin, heads, N, N) f32 score tensor round-trips HBM
+(~314 MB), the per-window matmuls are tiny (49x32) batched GEMMs, and every
+LN/residual is an extra pass. This module runs the block as THREE pallas
+kernels over window-ordered tokens (window_partition/reverse stay in XLA —
+they are cheap layout ops):
+
+1. ``_ln_dense``  — LN1 + qkv projection, flat (tokens, C) row tiles
+2. ``_attention`` — grid (batch, heads, window-groups): G windows stacked
+   into one (G*N, hd) block-diagonal attention per program; the combined
+   rel-pos-bias + off-diagonal -1e9 mask makes the big masked GEMM exactly
+   equal to G independent window attentions while feeding the MXU ~G*N-row
+   tiles; scores live only in VMEM
+3. ``_proj_res_ln_mlp`` — proj + layer-scale residual + LN2 + MLP +
+   residual in one pass
+
+GCViT's global-query mode (shared per-image query broadcast to every window,
+reference attention.py:62-66) swaps kernel 2's Q source for the q_global
+buffer and tiles it across the group.
+
+Matmul dtype rule (v5e Mosaic): bf16 LHS reshaped from lane-unaligned loads
+crashes the backend compiler, and head_dim (32) is always unaligned — so the
+attention GEMMs run in f32 (tiny anyway); the projection/MLP GEMMs use bf16
+only when C and hidden are 128-multiples. GELU uses the Abramowitz-Stegun
+erf (no erf primitive in Mosaic). Inference-only: training uses the Flax
+path, whose gradients XLA derives.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .convnext_block import _erf
+
+
+def _aligned(*dims: int) -> bool:
+    return all(d % 128 == 0 for d in dims)
+
+
+# ---------------------------------------------------------------------------
+# kernel 1: LN + dense (qkv projection)
+# ---------------------------------------------------------------------------
+def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, *o_refs, eps, mm_dtype):
+    xf = x_ref[:].astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[:] + b_ref[:]
+    o = jnp.dot(y.astype(mm_dtype), w_ref[:], preferred_element_type=jnp.float32)
+    o = o + wb_ref[:]
+    split = len(o_refs)
+    width = o.shape[1] // split
+    for s, o_ref in enumerate(o_refs):
+        o_ref[:] = o[:, s * width : (s + 1) * width].astype(o_ref.dtype)
+
+
+def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
+             interpret=False):
+    """LN over the last axis then a dense projection; x2 is (M, C). With
+    ``split`` > 1 the (M, D) result is returned as ``split`` separate
+    (M, D/split) arrays (q/k/v), keeping each output's lane dim equal to its
+    full array width — the layout the attention kernel's BlockSpecs need."""
+    m, c = x2.shape
+    d = w.shape[1]
+    width = d // split
+    mm_dtype = x2.dtype if _aligned(c, d) else jnp.float32
+    kern = functools.partial(_ln_dense_kernel, eps=eps, mm_dtype=mm_dtype)
+    t = row_tile
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    out = pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(m, t),),
+        in_specs=[
+            pl.BlockSpec((t, c), lambda i: (i, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c, d), lambda i: (0, 0)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((t, width), lambda i: (i, 0)) for _ in range(split)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((m, width), x2.dtype) for _ in range(split)
+        ),
+        interpret=interpret,
+    )(x2, f32(ln_g), f32(ln_b), jnp.asarray(w, mm_dtype), f32(wb))
+    return tuple(out)  # pallas returns a sequence for tuple out_shape
+
+
+# ---------------------------------------------------------------------------
+# kernel 2: block-diagonal grouped window attention
+# ---------------------------------------------------------------------------
+def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads):
+    qfull = q_ref[0].astype(jnp.float32) * scale      # (gN or N, C)
+    kfull = k_ref[0].astype(jnp.float32)
+    vfull = v_ref[0].astype(jnp.float32)
+    c = kfull.shape[1]
+    hd = c // heads
+    outs = []
+    for h in range(heads):
+        q = qfull[:, h * hd : (h + 1) * hd]
+        if q.shape[0] != g * n:                       # global query: tile
+            q = jnp.concatenate([q] * g, axis=0)
+        k = kfull[:, h * hd : (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                             # (gN, gN)
+        s = s + mb_ref[h]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(
+            jnp.dot(p, vfull[:, h * hd : (h + 1) * hd],
+                    preferred_element_type=jnp.float32)
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def grouped_window_attention(
+    q, k, v, heads, n, *, bias, scale, group, q_is_global=False,
+    interpret=False,
+):
+    """Block-diagonal grouped window attention.
+
+    q/k/v: (B, nWin*N, C), columns ordered [head][head_dim]; for GCViT's
+    global-query blocks ``q`` is the shared (B, N, C) query. ``bias`` is the
+    dense (heads, N, N) rel-pos bias. G windows are stacked per program and
+    masked block-diagonally, so one (G*N, G*N) masked GEMM computes G
+    independent window attentions without materializing scores in HBM.
+    Returns (B, nWin*N, C).
+    """
+    b, toks, c = k.shape
+    nwin = toks // n
+    g = group
+    assert nwin % g == 0, (nwin, g)
+    nwg = nwin // g
+
+    # combined bias + block-diagonal mask: position (i, j) belongs to windows
+    # (i//N, j//N); off-diagonal pairs get -1e9 (=> exactly 0 after softmax)
+    eye = np.kron(np.eye(g, dtype=np.float32), np.ones((n, n), np.float32))
+    tiled = jnp.tile(bias.astype(jnp.float32), (1, g, g))
+    mb = tiled * eye + (1.0 - eye) * -1e9             # (heads, gN, gN)
+
+    kern = functools.partial(_attn_kernel, scale=scale, g=g, n=n, heads=heads)
+    if q_is_global:
+        q_spec = pl.BlockSpec((1, n, c), lambda b_, wg: (b_, 0, 0))
+    else:
+        q_spec = pl.BlockSpec((1, g * n, c), lambda b_, wg: (b_, wg, 0))
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, nwg),
+        in_specs=[
+            q_spec,
+            pl.BlockSpec((1, g * n, c), lambda b_, wg: (b_, wg, 0)),
+            pl.BlockSpec((1, g * n, c), lambda b_, wg: (b_, wg, 0)),
+            pl.BlockSpec((heads, g * n, g * n), lambda b_, wg: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, g * n, c), lambda b_, wg: (b_, wg, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, toks, c), k.dtype),
+        interpret=interpret,
+    )(q, k, v, mb)
+
+
+# ---------------------------------------------------------------------------
+# kernel 3: proj + residual + LN2 + MLP + residual
+# ---------------------------------------------------------------------------
+def _tail_kernel(a_ref, x_ref, wp_ref, bp_ref, g1_ref, lg_ref, lb_ref,
+                 w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, o_ref, *, eps, mm_dtype):
+    proj = jnp.dot(a_ref[:].astype(mm_dtype), wp_ref[:],
+                   preferred_element_type=jnp.float32) + bp_ref[:]
+    r1 = x_ref[:].astype(jnp.float32) + proj * g1_ref[:]
+
+    mean = r1.mean(axis=-1, keepdims=True)
+    var = ((r1 - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (r1 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * lg_ref[:] + lb_ref[:]
+    h = jnp.dot(y.astype(mm_dtype), w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:]
+    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    o = jnp.dot(h.astype(mm_dtype), w2_ref[:], preferred_element_type=jnp.float32)
+    o = r1 + (o + b2_ref[:]) * g2_ref[:]
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def proj_res_ln_mlp(
+    attn_out, x2, wp, bp, gamma1, ln_g, ln_b, w1, b1, w2, b2, gamma2,
+    *, eps=1e-5, row_tile=1024, interpret=False,
+):
+    """x + g1*proj(attn) then +g2*MLP(LN(.)) over flat (M, C) tokens."""
+    m, c = x2.shape
+    hidden = w1.shape[1]
+    mm_dtype = x2.dtype if _aligned(c, hidden) else jnp.float32
+    kern = functools.partial(_tail_kernel, eps=eps, mm_dtype=mm_dtype)
+    t = row_tile
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(m, t),),
+        in_specs=[
+            pl.BlockSpec((t, c), lambda i: (i, 0)),
+            pl.BlockSpec((t, c), lambda i: (i, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c, hidden), lambda i: (0, 0)),
+            pl.BlockSpec((hidden,), lambda i: (0,)),
+            pl.BlockSpec((hidden, c), lambda i: (0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((t, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, c), x2.dtype),
+        interpret=interpret,
+    )(
+        attn_out, x2, jnp.asarray(wp, mm_dtype), f32(bp), f32(gamma1),
+        f32(ln_g), f32(ln_b), jnp.asarray(w1, mm_dtype), f32(b1),
+        jnp.asarray(w2, mm_dtype), f32(b2), f32(gamma2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# whole block
+# ---------------------------------------------------------------------------
+def _pick_group(nwin: int, n: int, cap: int = 512) -> int:
+    g = 1
+    for cand in range(1, nwin + 1):
+        if nwin % cand == 0 and cand * n <= cap:
+            g = cand
+    return g
+
+
+def fused_window_transformer_block(
+    x_win: jax.Array,          # (B, nWin*N, C) window-ordered tokens
+    *,
+    heads: int,
+    n: int,                    # tokens per window (ws*ws)
+    ln1_g, ln1_b,
+    wqkv, bqkv,                # (C, S*C), (S*C,)
+    bias,                      # (heads, N, N) dense rel-pos bias
+    wp, bp,                    # proj
+    ln2_g, ln2_b,
+    w1, b1, w2, b2,            # MLP
+    gamma1=None, gamma2=None,  # layer-scale (None -> 1)
+    scale: Optional[float] = None,
+    q_global: Optional[jax.Array] = None,  # (B, N, C) global query tokens
+    group: Optional[int] = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    b, toks, c = x_win.shape
+    nwin = toks // n
+    hd = c // heads
+    scale = scale if scale is not None else hd ** -0.5
+    g = group or _pick_group(nwin, n)
+    ones = jnp.ones((c,), jnp.float32)
+    gamma1 = ones if gamma1 is None else gamma1
+    gamma2 = ones if gamma2 is None else gamma2
+
+    x2 = x_win.reshape(b * toks, c)
+    s_comp = 3 if q_global is None else 2
+    parts = ln_dense(
+        x2, ln1_g, ln1_b, wqkv, bqkv, eps=eps, split=s_comp, interpret=interpret
+    )
+    parts = [part.reshape(b, toks, c) for part in parts]
+    if q_global is None:
+        q, k, v = parts
+        q_is_global = False
+    else:
+        k, v = parts
+        q = jnp.asarray(q_global, x_win.dtype)
+        q_is_global = True
+    attn = grouped_window_attention(
+        q, k, v, heads, n, bias=bias, scale=scale, group=g,
+        q_is_global=q_is_global, interpret=interpret,
+    )
+    out = proj_res_ln_mlp(
+        attn.reshape(b * toks, c), x2, wp, bp, gamma1, ln2_g, ln2_b,
+        w1, b1, w2, b2, gamma2, eps=eps, interpret=interpret,
+    )
+    return out.reshape(b, toks, c)
