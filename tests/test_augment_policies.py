@@ -120,3 +120,60 @@ def test_rand_augment_batch_properties():
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(ra.rand_augment(key, jnp.asarray(img), num_layers=2, magnitude=9.0))
     )
+
+
+# ---------------------------------------------------------------------------
+# JpegCompress (reference dataset/augment.py:110-113)
+# ---------------------------------------------------------------------------
+def _smooth_test_image(h=64, w=64):
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    img = np.stack([
+        0.5 + 0.4 * np.sin(6 * xx) * np.cos(4 * yy),
+        0.5 + 0.3 * np.cos(9 * xx * yy),
+        0.4 + 0.4 * yy * xx,
+    ], axis=-1).astype(np.float32)
+    rng = np.random.RandomState(0)
+    img += rng.uniform(-0.05, 0.05, img.shape).astype(np.float32)  # texture
+    return np.clip(img, 0, 1)
+
+
+@pytest.mark.parity
+def test_device_jpeg_matches_tf_roundtrip():
+    """The DCT-quantization approximation must track the real codec
+    (tf.image.adjust_jpeg_quality) closely across qualities."""
+    tf = pytest.importorskip("tensorflow")
+    from vip_cup_2022_tpu.data.augment import jpeg_roundtrip
+
+    img = _smooth_test_image()
+    for q in (85, 95):
+        ref = tf.image.adjust_jpeg_quality(tf.constant(img), q).numpy()
+        ours = np.asarray(jpeg_roundtrip(jnp.asarray(img), jnp.float32(q)))
+        mae = np.abs(ours - ref).mean() * 255.0
+        assert mae < 3.0, (q, mae)  # within ~3 intensity steps on average
+        # and both must be lossy in the same ballpark vs the original
+        ref_err = np.abs(ref - img).mean()
+        ours_err = np.abs(ours - img).mean()
+        assert ours_err < 3 * ref_err + 1e-3, (q, ours_err, ref_err)
+
+
+def test_random_jpeg_quality_gate_and_range():
+    from vip_cup_2022_tpu.data.augment import random_jpeg_quality
+
+    img = jnp.asarray(np.stack([_smooth_test_image(32, 32)] * 8))
+    out = random_jpeg_quality(jax.random.PRNGKey(0), img, prob=0.5)
+    assert out.shape == img.shape
+    deltas = np.abs(np.asarray(out) - np.asarray(img)).reshape(8, -1).max(1)
+    assert 0 < (deltas > 1e-6).sum() < 8  # some compressed, some passed through
+    out_all = random_jpeg_quality(jax.random.PRNGKey(1), img, prob=1.0)
+    deltas = np.abs(np.asarray(out_all) - np.asarray(img)).reshape(8, -1).max(1)
+    assert (deltas > 1e-6).all()
+
+
+def test_host_jpeg_compress():
+    from vip_cup_2022_tpu.data.augment import jpeg_compress_host
+
+    img = (_smooth_test_image(32, 32) * 255).astype(np.uint8)
+    rng = np.random.RandomState(0)
+    out = jpeg_compress_host([img] * 6, rng, prob=1.0)
+    assert all(o.shape == img.shape and o.dtype == np.uint8 for o in out)
+    assert any(np.abs(o.astype(int) - img.astype(int)).max() > 0 for o in out)

@@ -198,3 +198,125 @@ def apply_augment(
     aug = random_flip(k_flip, img, hflip, vflip)
     aug = random_gray(k_gray, aug, gray_prob)
     return jnp.where(gate, aug, img)
+
+
+# ---------------------------------------------------------------------------
+# JpegCompress (reference dataset/augment.py:110-113 — tf.image.
+# random_jpeg_quality round-trip). Two implementations:
+# - jpeg_compress_host: exact libjpeg round-trip via cv2 (host pipelines)
+# - random_jpeg_quality: jit-able on-device approximation — YCbCr + 4:2:0
+#   chroma subsampling + 8x8 DCT quantization with the libjpeg quality->
+#   quant-table scaling; matches the real codec up to entropy-coding-free
+#   rounding differences (a few intensity steps)
+# ---------------------------------------------------------------------------
+
+_JPEG_LUMA = jnp.asarray([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], jnp.float32)
+
+_JPEG_CHROMA = jnp.asarray([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], jnp.float32)
+
+
+def _jpeg_quant_table(base, quality):
+    """libjpeg quality scaling (jcparam.c jpeg_quality_scaling)."""
+    q = jnp.clip(quality, 1, 100).astype(jnp.float32)
+    scale = jnp.where(q < 50, 5000.0 / q, 200.0 - 2.0 * q)
+    return jnp.clip(jnp.floor((base * scale + 50.0) / 100.0), 1.0, 255.0)
+
+
+def _dct8():
+    k = jnp.arange(8, dtype=jnp.float32)
+    mat = jnp.cos((2 * k[None, :] + 1) * k[:, None] * (math.pi / 16.0))
+    alpha = jnp.full((8,), math.sqrt(2.0 / 8.0)).at[0].set(math.sqrt(1.0 / 8.0))
+    return mat * alpha[:, None]  # orthonormal DCT-II
+
+
+def _dct_quant_roundtrip(chan, table):
+    """chan: (..., H, W) centered values; blockwise DCT->quant->IDCT."""
+    h, w = chan.shape[-2:]
+    d = _dct8()
+    blocks = chan.reshape(*chan.shape[:-2], h // 8, 8, w // 8, 8)
+    blocks = jnp.swapaxes(blocks, -3, -2)  # (..., h/8, w/8, 8, 8)
+    coef = jnp.einsum("ij,...jk,lk->...il", d, blocks, d)
+    coef = jnp.round(coef / table) * table
+    out = jnp.einsum("ji,...jk,kl->...il", d, coef, d)
+    out = jnp.swapaxes(out, -3, -2)
+    return out.reshape(*chan.shape)
+
+
+def jpeg_roundtrip(img, quality):
+    """On-device JPEG round-trip approximation; img (H, W, 3) float [0,1],
+    ``quality`` may be a traced scalar."""
+    h, w, _ = img.shape
+    ph = (16 - h % 16) % 16
+    pw = (16 - w % 16) % 16
+    x = jnp.pad(img * 255.0, ((0, ph), (0, pw), (0, 0)), mode="edge")
+
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    lt = _jpeg_quant_table(_JPEG_LUMA, quality)
+    ct = _jpeg_quant_table(_JPEG_CHROMA, quality)
+    y = _dct_quant_roundtrip(y - 128.0, lt) + 128.0
+
+    def chroma(c):
+        hh, ww = c.shape
+        sub = c.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))  # 4:2:0
+        sub = _dct_quant_roundtrip(sub - 128.0, ct) + 128.0
+        return jnp.repeat(jnp.repeat(sub, 2, axis=0), 2, axis=1)
+
+    cb = chroma(cb)
+    cr = chroma(cr)
+
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = jnp.stack([r, g, b], axis=-1)[:h, :w]
+    return jnp.clip(out / 255.0, 0.0, 1.0).astype(img.dtype)
+
+
+def random_jpeg_quality(rng, img, quality: Tuple[int, int] = (85, 95), prob: float = 0.5):
+    """Batched JpegCompress (augment.py:110-113): with probability ``prob``
+    per sample, re-encode at a quality drawn uniformly from ``quality``."""
+    b = img.shape[0]
+    k_gate, k_q = jax.random.split(rng)
+    gate = jax.random.uniform(k_gate, (b,)) < prob
+    qs = jax.random.randint(k_q, (b,), quality[0], quality[1] + 1)
+    out = jax.vmap(jpeg_roundtrip)(img, qs.astype(jnp.float32))
+    return jnp.where(gate[:, None, None, None], out, img)
+
+
+def jpeg_compress_host(images_u8, rng, quality: Tuple[int, int] = (85, 95), prob: float = 0.5):
+    """Exact host-side JpegCompress via cv2/libjpeg (for host data pipelines;
+    semantics of tf.image.random_jpeg_quality). ``images_u8``: list/array of
+    HWC uint8; ``rng``: np.random.RandomState."""
+    import cv2
+    import numpy as np
+
+    out = []
+    for im in images_u8:
+        if rng.uniform() < prob:
+            q = int(rng.randint(quality[0], quality[1] + 1))
+            ok, enc = cv2.imencode(".jpg", im[..., ::-1], [int(cv2.IMWRITE_JPEG_QUALITY), q])
+            if ok:
+                im = cv2.imdecode(enc, cv2.IMREAD_COLOR)[..., ::-1]
+        out.append(im)
+    return out

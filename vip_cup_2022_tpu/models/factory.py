@@ -92,6 +92,10 @@ def load_weights(model_path: str, model_name: str = ""):
         from ..weights.keras_h5 import convert_keras_h5
 
         return convert_keras_h5(model_path, model_name)
+    if model_path.endswith((".pt", ".pth", ".bin")):
+        from ..weights.torch_pt import convert_torch_weights
+
+        return convert_torch_weights(model_path, model_name)
     if savedmodel_dir(model_path):
         from ..weights.savedmodel import convert_savedmodel
 

@@ -12,3 +12,8 @@ from .keras_h5 import (  # noqa: F401
     register_weight_mapper,
 )
 from .savedmodel import convert_savedmodel, read_savedmodel  # noqa: F401
+from .torch_pt import (  # noqa: F401
+    convert_torch_weights,
+    read_torch_checkpoint,
+    register_torch_mapper,
+)
