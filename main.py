@@ -79,10 +79,13 @@ def main(argv):
 
     engine = EnsembleEngine(mesh=mesh, verbose=verbose)
     start = time.time()
-    if int(os.environ.get("VIPTPU_FUSED", "0")):
-        # whole-ensemble-as-one-program fast path (single-fold members)
+    if int(os.environ.get("VIPTPU_FUSED", "1")):
+        # DEFAULT: whole ensemble (all members x folds x TTA) as one jitted
+        # program per batch — one dispatch instead of per member x fold, all
+        # aggregation on device (equivalence tested in tests/test_cli.py)
         engine.predict_soln_fused(CFG)
     else:
+        # reference-shaped sequential path (per-member/fold predict loops)
         engine.predict_soln(CFG, ensemble=True)
     eta = (time.time() - start) / 60
     print(f"\n> TIME TO INFER: {eta:0.2f} min")

@@ -154,12 +154,15 @@ class EnsembleEngine:
     def build_fused_ensemble(self, members, tta: int = 1):
         """One jitted program for the WHOLE ensemble (SURVEY.md §7 config 4):
         shared uint8 input -> per-member resize/normalize -> all member
-        forwards back-to-back -> multiclass->binary -> mean over members (and
-        TTA copies), entirely on device. XLA schedules the members as one
-        graph; one dispatch per batch instead of per member x batch.
+        forwards back-to-back -> multiclass->binary -> mean over TTA copies,
+        then folds, then members — entirely on device, preserving the
+        reference's nested aggregation order (main.py:111, :121, :142-143).
+        XLA schedules the members as one graph; one dispatch per batch
+        instead of per member x fold x batch.
 
-        ``members``: list of (module, dim) — call with the matching list of
-        variables. Returns fn(list_of_variables, u8, rng) -> (B, 1) mean prob.
+        ``members``: list of (module, dim) — call with ``all_variables``, a
+        list (per member) of lists (per fold) of variables pytrees. Returns
+        fn(all_variables, u8, rng) -> (B, 1) ensemble-mean probability.
         """
         compute_dtype = self.compute_dtype
         specs = [(module, tuple(dim)) for module, dim in members]
@@ -175,17 +178,20 @@ class EnsembleEngine:
         def forward(all_variables, u8, rng):
             x0 = u8.astype(jnp.float32) / 255.0
             preds = []
-            for (module, dim), variables in zip(specs, all_variables):
+            for (module, dim), fold_vars in zip(specs, all_variables):
                 x = resize(x0, dim, method="bicubic") if dim != NATIVE_SIZE else x0
                 x = x.astype(compute_dtype)
-                if tta > 1:
-                    def one(key, x=x, module=module, variables=variables):
-                        return member_forward(module, variables, apply_augment(key, x))
+                fold_preds = []
+                for variables in fold_vars:
+                    if tta > 1:
+                        def one(key, x=x, module=module, variables=variables):
+                            return member_forward(module, variables, apply_augment(key, x))
 
-                    outs = jax.lax.map(one, jax.random.split(rng, tta))
-                    preds.append(jnp.mean(outs, axis=0))
-                else:
-                    preds.append(member_forward(module, variables, x))
+                        outs = jax.lax.map(one, jax.random.split(rng, tta))
+                        fold_preds.append(jnp.mean(outs, axis=0))
+                    else:
+                        fold_preds.append(member_forward(module, variables, x))
+                preds.append(jnp.mean(jnp.stack(fold_preds), axis=0))
             return jnp.mean(jnp.stack(preds), axis=0)
 
         return jax.jit(
@@ -259,8 +265,9 @@ class EnsembleEngine:
         return getattr(np, agg)(fold_preds, axis=0)
 
     def predict_soln_fused(self, cfg):
-        """Fast path: the whole ensemble as ONE jitted program per batch
-        (single-fold members). Same CSV contract as predict_soln."""
+        """Fast path (the default): the whole ensemble — every member and
+        every fold — as ONE jitted program per batch. Same CSV contract and
+        aggregation order as predict_soln."""
         test_csv = pd.read_csv(cfg.test_csv)
         test_names = test_csv.filename.values
         test_paths = [os.path.join(cfg.infer_path, n) for n in test_names]
@@ -281,11 +288,14 @@ class EnsembleEngine:
             module, variables, _ = create_model(
                 name, input_size=tuple(dim), dtype=self.compute_dtype, **overrides
             )
-            if ckpt_paths:
-                loaded = load_weights(sorted(ckpt_paths)[0], name)
-                variables = transfer_weights(loaded, variables)
+            fold_vars = []
+            for ckpt in sorted(ckpt_paths):
+                loaded = load_weights(ckpt, name)
+                fold_vars.append(transfer_weights(loaded, variables))
+            if not fold_vars:  # random-init (allow_missing) member
+                fold_vars = [variables]
             members.append((module, tuple(dim)))
-            all_variables.append(variables)
+            all_variables.append(fold_vars)
 
         fwd = self.build_fused_ensemble(members, tta=cfg.tta)
         batch_size = pad_to_multiple(
@@ -305,8 +315,9 @@ class EnsembleEngine:
 
         out_df = pd.DataFrame({"filename": np.array(test_names), "logit": pred[:, 0]})
         out_df = out_df.sort_values("filename").reset_index(drop=True)
+        out_df["raw"] = out_df.logit.astype(np.float64)  # pre-binarization mean
         out_df["logit"] = (out_df.logit > cfg.thr) * 1.0
-        out_df.to_csv(cfg.output_csv_path, index=False)
+        out_df[["filename", "logit"]].to_csv(cfg.output_csv_path, index=False)
         if cfg.verbose:
             print("\n> FINAL PREDICTION SAVED TO ", cfg.output_csv_path)
         return out_df
