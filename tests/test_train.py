@@ -261,3 +261,69 @@ def test_uint8_batches_rescaled(tiny_model):
         losses[key] = float(loss)
     assert losses["u8"] == pytest.approx(losses["f32"], abs=1e-6)
     assert losses["u8_eval"] == pytest.approx(losses["f32_eval"], abs=1e-6)
+
+
+def test_tfds_init_dataset_with_stub(tmp_path, monkeypatch):
+    """init_dataset parity (reference imagenet/data.py:404-504) exercised via
+    a stub tfds module: TPU-style knobs (drop_remainder), rescale modes,
+    shuffle/crop/flip pipeline, and normalized one-hot numpy batches."""
+    import sys
+    import types
+
+    tf = pytest.importorskip("tensorflow")
+
+    rng = np.random.RandomState(0)
+    n_train, n_test, classes = 10, 6, 3
+    imgs = rng.randint(0, 255, (n_train, 40, 44, 3), np.uint8)
+    labels = rng.randint(0, classes, (n_train,))
+    timgs = rng.randint(0, 255, (n_test, 40, 44, 3), np.uint8)
+    tlabels = rng.randint(0, classes, (n_test,))
+
+    def as_ds(images, labels):
+        return tf.data.Dataset.from_tensor_slices({"image": images, "label": labels})
+
+    class Info:
+        class features:
+            pass
+
+    info = types.SimpleNamespace(
+        features={
+            "label": types.SimpleNamespace(num_classes=classes),
+            "image": types.SimpleNamespace(shape=(None, None, 3)),
+        },
+        splits={"train": types.SimpleNamespace(num_examples=n_train)},
+    )
+    stub = types.SimpleNamespace(
+        load=lambda name, with_info=True, try_gcs=False: (
+            {"train": as_ds(imgs, labels), "validation": as_ds(timgs, tlabels)},
+            info,
+        )
+    )
+    monkeypatch.setitem(sys.modules, "tensorflow_datasets", stub)
+
+    from vip_cup_2022_tpu.data.tfds import init_dataset
+
+    total, ncls, steps, nch = init_dataset("fake_ds", batch_size=4, info_only=True)
+    assert (total, ncls, steps, nch) == (n_train, classes, 3, 3)
+
+    train_fn, test_fn, total, ncls, steps = init_dataset(
+        "fake_ds", input_shape=(32, 32), batch_size=4, rescale_mode="torch",
+        random_crop_min=0.6, magnitude=2, seed=1, drop_remainder=True,
+        use_shuffle=True, buffer_size=8,
+    )
+    xb, yb = next(train_fn())
+    assert xb.shape == (4, 32, 32, 3) and yb.shape == (4, classes)
+    np.testing.assert_allclose(yb.sum(-1), 1.0, atol=1e-6)
+    assert np.abs(xb).max() < 10  # torch-normalized, not raw 0-255
+    # drop_remainder: 10 train samples at batch 4 -> 2 full batches
+    assert sum(1 for _ in train_fn()) == 2
+
+    batches = list(test_fn())
+    assert len(batches) == 1  # 6 at batch 4, drop_remainder
+    xe, ye = batches[0]
+    assert xe.shape == (4, 32, 32, 3) and ye.shape == (4, classes)
+
+    with pytest.raises(NotImplementedError):
+        monkeypatch.delitem(sys.modules, "tensorflow_datasets")
+        monkeypatch.setitem(sys.modules, "tensorflow_datasets", None)
+        init_dataset("fake_ds", info_only=True)
