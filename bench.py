@@ -15,12 +15,15 @@ bf16 peak; the architectural speed-of-light at a strong 50% MFU is
 ~1,400 img/s/chip. vs_baseline is reported against 10k anyway for
 round-over-round comparability.
 
-Measurement notes (axon tunnel): host<->device roundtrips cost ~27 ms and the
-runtime memoizes identical dispatches, so the program runs K forwards chained
-inside ONE jitted fori_loop (input varied on device per step) and the clock
-stops on a host fetch of the reduced output.
+Measurement notes (axon tunnel): host<->device roundtrips cost ~27 ms
+(subtracted) and the runtime memoizes identical dispatches, so each timed rep
+uses a DISTINCT device-resident input. The fused program is NOT wrapped in a
+fori_loop: XLA's loop passes blow the joint 7-member module's compile past
+40 minutes, while the unchained program compiles in ~70 s. Models initialize
+on the CPU backend and weights are device_put once (jit-init through the
+tunnel costs minutes per model).
 
-Env knobs: VIPTPU_BENCH_BATCH (default 256), VIPTPU_BENCH_K (default 4),
+Env knobs: VIPTPU_BENCH_BATCH (default 256), VIPTPU_BENCH_REPS (default 6),
 VIPTPU_BENCH_MEMBERS=1 adds per-member timings (roughly doubles runtime).
 """
 import json
@@ -43,29 +46,27 @@ ENSEMBLE = [
 
 NORTH_STAR = 10_000.0
 BATCH = int(os.environ.get("VIPTPU_BENCH_BATCH", "256"))
-K = int(os.environ.get("VIPTPU_BENCH_K", "4"))  # chained forwards per dispatch
+REPS = int(os.environ.get("VIPTPU_BENCH_REPS", "6"))
 DISPATCH_OVERHEAD_S = 0.0265  # measured axon-tunnel constant per dispatch
 
 
-def chained(body):
-    def fn(x_u8):
-        def step(i, acc):
-            xi = x_u8 + i.astype(jnp.uint8)  # vary input: un-hoistable
-            return acc + jnp.sum(body(xi).astype(jnp.float32))
-
-        return jax.lax.fori_loop(0, K, step, jnp.zeros((), jnp.float32))
-
-    return jax.jit(fn)
-
-
-def time_program(prog, x):
-    jax.block_until_ready(prog(x))  # compile + warm
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(prog(x))
-        times.append(time.perf_counter() - t0)
-    return max(min(times) - DISPATCH_OVERHEAD_S, 1e-9) / K
+def time_program(fn, inputs):
+    """Pipelined timing: queue one dispatch per distinct input (distinct
+    because the runtime memoizes identical dispatches), then drain the queue
+    with a host fetch of the LAST output — executions are ordered on device,
+    so the wall time covers every queued forward. block_until_ready is NOT a
+    reliable sync point through the axon tunnel (it can report a queued
+    dispatch 'ready' in ~5 ms); a value fetch is."""
+    jax.block_until_ready(fn(inputs[0]))  # compile + warm
+    np.asarray(fn(inputs[0]))  # drain anything outstanding
+    t0 = time.perf_counter()
+    outs = [fn(x) for x in inputs[1:]]
+    np.asarray(outs[-1])
+    total = time.perf_counter() - t0
+    if os.environ.get("VIPTPU_BENCH_DEBUG"):
+        print(f"pipelined total {total*1e3:.1f} ms over {len(outs)} forwards",
+              file=__import__("sys").stderr)
+    return max((total - 2 * DISPATCH_OVERHEAD_S) / len(outs), 1e-9)
 
 
 def main():
@@ -75,27 +76,33 @@ def main():
     compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     engine = EnsembleEngine(verbose=0, compute_dtype=compute_dtype)
 
+    cpu = jax.devices("cpu")[0]
+    device = jax.devices()[0]
     members, all_variables = [], []
     for dirname, dim in ENSEMBLE:
         name = registry_name(dirname)
         if not is_model(name):
             continue
-        module, variables, _ = create_model(
-            name, input_size=dim, nb_classes=1,
-            classifier_activation="sigmoid", dtype=compute_dtype,
-        )
+        with jax.default_device(cpu):  # init through the tunnel is minutes/model
+            module, variables, _ = create_model(
+                name, input_size=dim, nb_classes=1,
+                classifier_activation="sigmoid", dtype=compute_dtype,
+            )
         members.append((module, dim))
-        all_variables.append([variables])
+        all_variables.append([jax.device_put(variables, device)])
 
     rng = np.random.RandomState(0)
-    u8 = jax.device_put(
-        jnp.asarray(rng.randint(0, 256, size=(BATCH, 200, 200, 3), dtype=np.uint8))
+    base = jax.device_put(
+        jnp.asarray(rng.randint(0, 256, size=(BATCH, 200, 200, 3), dtype=np.uint8)),
+        device,
     )
+    bump = jax.jit(lambda x, i: x + jnp.uint8(i))
+    inputs = [jax.block_until_ready(bump(base, i)) for i in range(REPS + 1)]
 
     fused = engine.build_fused_ensemble(members, tta=1)
     key = jax.random.PRNGKey(0)
     t_compile = time.time()
-    per_fwd = time_program(chained(lambda x: fused(all_variables, x, key)), u8)
+    per_fwd = time_program(lambda x: fused(all_variables, x, key), inputs)
     compile_s = time.time() - t_compile
     per_chip = BATCH / per_fwd / max(len(jax.devices()), 1)
 
@@ -104,7 +111,7 @@ def main():
         "n_members": len(members),
         "n_members_target": len(ENSEMBLE),
         "batch": BATCH,
-        "chained_steps": K,
+        "reps": REPS,
         "backend": jax.default_backend(),
         "n_chips": len(jax.devices()),
         "compile_plus_first_pass_s": round(compile_s, 1),
@@ -118,7 +125,7 @@ def main():
         for (module, dim), fold_vars in zip(members, all_variables):
             one = engine.build_fused_ensemble([(module, dim)], tta=1)
             fv = [fold_vars]
-            dt = time_program(chained(lambda x: one(fv, x, key)), u8)
+            dt = time_program(lambda x: one(fv, x, key), inputs)
             per_member[module.cfg.name] = round(BATCH / dt, 1)
         detail["per_member_img_per_sec"] = per_member
 

@@ -72,6 +72,7 @@ def test_main_cli_contract(workspace, monkeypatch):
     assert list(out.filename) == sorted(names)
 
 
+@pytest.mark.slow
 def test_predictions_deterministic(workspace, monkeypatch):
     """Same inputs -> identical outputs across runs (seeded, TTA off)."""
     root, input_csv, names = workspace

@@ -478,6 +478,7 @@ def test_coco_map_sanity():
     assert m_shifted["AP50"] >= m_shifted["AP"]
 
 
+@pytest.mark.slow
 def test_yolox_custom_backbone():
     import jax.numpy as jnp
 

@@ -18,21 +18,30 @@ def test_registry():
 
 
 def test_forward_shapes_224_and_200():
-    module, variables, _ = create_model("gcvit_xxtiny", input_size=(224, 224), nb_classes=5)
+    # tiny dims: the geometry (stem grid, fit-window pads, level count) is
+    # what's under test, not the full xxtiny width/depth
+    tiny = dict(dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8))
+    module, variables, _ = create_model(
+        "gcvit_xxtiny", input_size=(224, 224), nb_classes=5, **tiny
+    )
     y = module.apply(variables, jnp.zeros((2, 224, 224, 3)))
     assert y.shape == (2, 5)
     # the competition's 200x200 path: stem grid 50 -> fit-window pads to 56
     module, variables, _ = create_model(
-        "gcvit_xxtiny", input_size=(200, 200), nb_classes=1, classifier_activation="sigmoid"
+        "gcvit_xxtiny", input_size=(200, 200), nb_classes=1,
+        classifier_activation="sigmoid", **tiny
     )
     y = module.apply(variables, jnp.zeros((1, 200, 200, 3)))
     assert y.shape == (1, 1)
 
 
 def test_features_only_grid():
-    module, variables, _ = create_model("gcvit_xxtiny", input_size=(224, 224))
+    module, variables, _ = create_model(
+        "gcvit_xxtiny", input_size=(224, 224), dim=16, depths=(1, 1, 1, 1),
+        num_heads=(1, 2, 4, 8),
+    )
     f = module.apply(variables, jnp.zeros((1, 224, 224, 3)), features_only=True)
-    assert f.shape == (1, 7, 7, 512)
+    assert f.shape == (1, 7, 7, 128)
 
 
 @pytest.mark.parity

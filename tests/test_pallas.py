@@ -121,7 +121,7 @@ class TestFusedGCViTBlock:
 
         rng = np.random.RandomState(0)
         kw = dict(
-            input_size=(224, 224), nb_classes=3, depths=(2, 2, 2, 2), dim=32,
+            input_size=(224, 224), nb_classes=3, depths=(2, 1, 1, 1), dim=16,
             num_heads=(1, 2, 4, 8),
         )
         m1, v1, _ = create_model("gcvit_xxtiny", fused_block=True, **kw)

@@ -101,10 +101,18 @@ class EnsembleEngine:
     ):
         self.mesh = mesh if mesh is not None else get_mesh()
         if compute_dtype is None:
-            # bf16 on TPU (MXU-native); f32 elsewhere (CPU tests / parity)
-            compute_dtype = (
-                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-            )
+            # bf16 on TPU (MXU-native); f32 elsewhere (CPU tests / parity).
+            # VIPTPU_DTYPE=float32|bfloat16 overrides — use float32 to measure
+            # the bf16 decision-flip rate at thr=0.487 on a labeled set before
+            # trusting bf16 for a new checkpoint family.
+            env = os.environ.get("VIPTPU_DTYPE", "")
+            if env:
+                compute_dtype = {"float32": jnp.float32, "f32": jnp.float32,
+                                 "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}[env]
+            else:
+                compute_dtype = (
+                    jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+                )
         self.compute_dtype = compute_dtype
         self.verbose = verbose
         self._decoder = ImageDecoder(num_threads=num_decode_threads)
