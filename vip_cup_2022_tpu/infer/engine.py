@@ -140,6 +140,35 @@ class EnsembleEngine:
         self._decoded_key = None
 
     # ------------------------------------------------------------------
+    # model construction
+    # ------------------------------------------------------------------
+    def _create_member(self, name: str, dim, overrides: Dict):
+        """create_model with init on the CPU backend when running on an
+        accelerator: jit-init through the axon tunnel costs minutes per
+        model, CPU init is seconds. Callers must _place() the final
+        variables (after weight transfer) onto the accelerator once."""
+        cpu = None
+        if jax.default_backend() != "cpu":
+            try:
+                cpu = jax.devices("cpu")[0]
+            except Exception:
+                cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                return create_model(
+                    name, input_size=tuple(dim), dtype=self.compute_dtype, **overrides
+                )
+        return create_model(
+            name, input_size=tuple(dim), dtype=self.compute_dtype, **overrides
+        )
+
+    def _place(self, variables):
+        """Commit a variables pytree to the accelerator (no-op on CPU)."""
+        if jax.default_backend() == "cpu":
+            return variables
+        return jax.device_put(variables, jax.devices()[0])
+
+    # ------------------------------------------------------------------
     # per-model forward program
     # ------------------------------------------------------------------
     def _build_forward(self, module, dim: Tuple[int, int], tta: int):
@@ -238,9 +267,7 @@ class EnsembleEngine:
                 with open(cfg_json) as fh:
                     overrides = json.load(fh)
                 overrides.pop("input_size", None)
-        module, variables, cfg = create_model(
-            name, input_size=tuple(dim), dtype=self.compute_dtype, **overrides
-        )
+        module, variables, cfg = self._create_member(name, dim, overrides)
         fwd = self._build_forward(module, dim, tta)
         imgs = self._decode_all(paths)
         n = len(imgs)
@@ -250,7 +277,9 @@ class EnsembleEngine:
         for fold_idx, ckpt in enumerate(sorted(ckpt_paths) if ckpt_paths else [None]):
             if ckpt is not None:
                 loaded = load_weights(ckpt, name)
-                variables = transfer_weights(loaded, variables)
+                variables = self._place(transfer_weights(loaded, variables))
+            elif fold_idx == 0:
+                variables = self._place(variables)
             # keep per-batch outputs on device; jax's async dispatch overlaps
             # batch N+1's H2D transfer with batch N's compute, and the single
             # host fetch at the end avoids a per-batch roundtrip
@@ -293,15 +322,13 @@ class EnsembleEngine:
                     with open(cfg_json) as fh:
                         overrides = json.load(fh)
                     overrides.pop("input_size", None)
-            module, variables, _ = create_model(
-                name, input_size=tuple(dim), dtype=self.compute_dtype, **overrides
-            )
+            module, variables, _ = self._create_member(name, dim, overrides)
             fold_vars = []
             for ckpt in sorted(ckpt_paths):
                 loaded = load_weights(ckpt, name)
-                fold_vars.append(transfer_weights(loaded, variables))
+                fold_vars.append(self._place(transfer_weights(loaded, variables)))
             if not fold_vars:  # random-init (allow_missing) member
-                fold_vars = [variables]
+                fold_vars = [self._place(variables)]
             members.append((module, tuple(dim)))
             all_variables.append(fold_vars)
 
