@@ -81,3 +81,59 @@ def test_convert_precision(small_resnet):
     from flax.traverse_util import flatten_dict
 
     assert all(v.dtype == jnp.bfloat16 for v in flatten_dict(out).values())
+
+
+def test_history_combine_and_curve_fit(tmp_path):
+    """combine_hist_into_one + log-cubic curve-fit extrapolation + plot_hists
+    (reference imagenet/eval_func.py:157-273)."""
+    import json
+
+    from vip_cup_2022_tpu.train.history import (
+        combine_hist_into_one,
+        curve_fit,
+        plot_hists,
+    )
+
+    h1 = {"loss": [1.0, 0.8, 0.6], "val_loss": [1.1, 0.9, 0.7], "acc": [0.3, 0.5, 0.6], "lr": [0.1, 0.1, 0.05]}
+    h2 = {"loss": [0.5, 0.4], "val_loss": [0.6, 0.55], "acc": [0.7, 0.75], "lr": [0.05, 0.01]}
+    p1, p2 = tmp_path / "h1.json", tmp_path / "h2.json"
+    p1.write_text(json.dumps(h1))
+    p2.write_text(json.dumps(h2))
+    combined = combine_hist_into_one([str(p1), str(p2)], save_file=str(tmp_path / "all.json"))
+    assert combined["loss"] == [1.0, 0.8, 0.6, 0.5, 0.4]
+    assert len(combined["acc"]) == 5
+
+    # a curve following a*log(x)+d exactly extrapolates exactly
+    xs = np.arange(1, 30, dtype=np.float64)
+    src = (0.5 * np.log(xs) + 2.0).tolist()
+    ext = curve_fit(src, target_len=5, skip=1, use_recent=20)
+    assert len(ext) == len(src) + 5
+    want = 0.5 * np.log(np.arange(30, 35)) + 2.0
+    np.testing.assert_allclose(ext[-5:], want, rtol=1e-3)
+
+    fig = plot_hists(combined, names="run", pred_curve=0, save_path=str(tmp_path / "h.png"))
+    assert (tmp_path / "h.png").exists()
+    assert len(fig.axes) == 3  # loss, acc, lr
+
+
+def test_collect_files_with_suffix(tmp_path):
+    from vip_cup_2022_tpu.utils.files import (
+        collect_files_with_suffix,
+        collect_tfrecord_files,
+    )
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.tfrecord").write_text("x")
+    (tmp_path / "sub" / "b.tfrec").write_text("x")
+    (tmp_path / "c.txt").write_text("x")
+
+    found = collect_tfrecord_files(str(tmp_path))
+    assert [f.rsplit("/", 1)[1] for f in found] == ["a.tfrecord", "b.tfrec"]
+    # single file, iterable, and missing cases
+    assert collect_files_with_suffix(str(tmp_path / "a.tfrecord"), ".tfrecord") == [str(tmp_path / "a.tfrecord")]
+    assert collect_files_with_suffix([str(tmp_path / "sub"), str(tmp_path / "c.txt")], ".txt") == [str(tmp_path / "c.txt")]
+    assert collect_files_with_suffix(None, ".txt") == []
+    # s3 url with suffix short-circuits without boto3
+    assert collect_files_with_suffix("s3://b/k/x.tfrecord", ".tfrecord") == ["s3://b/k/x.tfrecord"]
+    with pytest.raises(NotImplementedError):
+        collect_files_with_suffix("s3://bucket/prefix", ".tfrecord")
