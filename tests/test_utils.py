@@ -137,3 +137,61 @@ def test_collect_files_with_suffix(tmp_path):
     assert collect_files_with_suffix("s3://b/k/x.tfrecord", ".tfrecord") == ["s3://b/k/x.tfrecord"]
     with pytest.raises(NotImplementedError):
         collect_files_with_suffix("s3://bucket/prefix", ".tfrecord")
+
+
+def test_torch_model_interf_and_parity_diff():
+    """TorchModelInterf + JaxModelInterf: the cross-backend diff shims
+    (reference eval_func.py:7-21) agree on an identical tiny conv model."""
+    torch = pytest.importorskip("torch")
+    import flax.linen as nn
+
+    from vip_cup_2022_tpu.eval.interop import JaxModelInterf, TorchModelInterf
+
+    rng = np.random.RandomState(0)
+    w = rng.uniform(-0.3, 0.3, (4, 3, 3, 3)).astype(np.float32)  # torch OIHW
+    b = rng.uniform(-0.1, 0.1, (4,)).astype(np.float32)
+
+    tmodel = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 4, 3), torch.nn.ReLU(), torch.nn.AdaptiveAvgPool2d(1),
+        torch.nn.Flatten(),
+    )
+    with torch.no_grad():
+        tmodel[0].weight.copy_(torch.from_numpy(w))
+        tmodel[0].bias.copy_(torch.from_numpy(b))
+
+    class JModel(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(4, (3, 3), padding="VALID", name="conv")(x)
+            x = nn.relu(x)
+            return jnp.mean(x, axis=(1, 2))
+
+    jm = JModel()
+    variables = {"params": {"conv": {"kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+                                     "bias": jnp.asarray(b)}}}
+    x = rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    t_out = TorchModelInterf(tmodel, device="cpu")(x)
+    j_out = JaxModelInterf(jm, variables)(x)
+    np.testing.assert_allclose(j_out, t_out, atol=1e-5)
+
+
+def test_parse_timm_log(tmp_path):
+    from vip_cup_2022_tpu.eval.interop import parse_timm_log
+
+    log = """Train: 0 [   0/312 (  0%)]  Loss: 6.932 (6.93)  Time: 1.0s  LR: 1.0e-04  Data: 0.4
+Train: 0 [ 311/312 (100%)]  Loss: 6.100 (6.52)  Time: 1.0s  LR: 2.0e-04  Data: 0.2
+Test: [   0/25]  Time: 0.2  Loss:  5.900 (5.90)  Acc@1:  4.000 ( 4.000)  Acc@5: 12.000 (12.000)
+Test: [  24/25]  Time: 0.2  Loss:  5.800 (5.85)  Acc@1:  5.000 ( 4.500)  Acc@5: 13.000 (12.500)
+Train: 1 [   0/312 (  0%)]  Loss: 5.800 (5.80)  Time: 1.0s  LR: 3.0e-04  Data: 0.3
+Train: 1 [ 311/312 (100%)]  Loss: 5.500 (5.65)  Time: 1.0s  LR: 4.0e-04  Data: 0.2
+Test: [   0/25]  Time: 0.2  Loss:  5.300 (5.30)  Acc@1:  8.000 ( 8.000)  Acc@5: 20.000 (20.000)
+Test: [  24/25]  Time: 0.2  Loss:  5.200 (5.25)  Acc@1:  9.000 ( 8.500)  Acc@5: 21.000 (20.500)
+"""
+    p = tmp_path / "timm.log"
+    p.write_text(log)
+    hh = parse_timm_log(str(p))
+    assert hh["loss"] == [6.52, 5.65]
+    assert hh["lr"] == [2.0e-04, 4.0e-04]
+    assert hh["val_loss"] == [5.85, 5.25]
+    np.testing.assert_allclose(hh["val_acc"], [0.045, 0.085])
+    assert set(parse_timm_log(str(p), ["loss"])) == {"loss"}
