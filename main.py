@@ -36,6 +36,21 @@ def main(argv):
 
         jax.config.update("jax_platforms", platform)
 
+    # persistent executable cache: the fused 7-member program costs minutes
+    # to compile; repeat CLI invocations reuse it (VIPTPU_NO_JIT_CACHE=1 off)
+    if not int(os.environ.get("VIPTPU_NO_JIT_CACHE", "0")):
+        import jax
+
+        cache_dir = os.environ.get(
+            "VIPTPU_JIT_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "vip_cup_2022_tpu_jit"),
+        )
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass  # older jax without the knobs
+
     from vip_cup_2022_tpu.core.config import Config
     from vip_cup_2022_tpu.data.pipeline import seeding
     from vip_cup_2022_tpu.infer.engine import EnsembleEngine, load_manifest

@@ -140,11 +140,11 @@ class EfficientNet(nn.Module):
                         pad = "VALID"
                     else:
                         pad = "SAME"
-                    ch = x.shape[-1]
-                    x = nn.Conv(
-                        ch, (ksize, ksize), strides=(stride, stride), padding=pad,
-                        feature_group_count=ch, use_bias=False, dtype=dt, name=name + "MB_dw_",
-                    )(x)
+                    from ..ops.conv import apply_depthwise_conv
+
+                    x = apply_depthwise_conv(
+                        self, x, ksize, stride, pad, name + "MB_dw_", dtype=dt
+                    )
                     x = bn_act(x, cfg.activation, name + "MB_dw_")
 
                 if se_ratio > 0 and cfg.use_global_context_instead_of_se:

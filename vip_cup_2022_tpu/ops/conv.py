@@ -65,6 +65,20 @@ class Conv(nn.Module):
         )(x)
 
 
+def _use_blockdiag_dw() -> bool:
+    """Gate for the depthwise-as-block-diagonal-grouped-conv lowering
+    (exact math; lands on the MXU instead of XLA's slow true-depthwise
+    path — measured 1.6x on a 7x7 dw at 99x99x96 on v5e). Opt-in via
+    VIPTPU_DW_BLOCKDIAG=1 while per-family wins are being validated."""
+    import os
+
+    if not int(os.environ.get("VIPTPU_DW_BLOCKDIAG", "0")):
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 class DepthwiseConv(nn.Module):
     """Depthwise 2-D conv, torch padding. Kernel stored HWIO with I=channels,
     O=channels via feature_group_count=channels (keras DepthwiseConv2D kernel is
@@ -82,7 +96,7 @@ class DepthwiseConv(nn.Module):
         ch = x.shape[-1]
         ks = to_tuple(self.kernel_size)
         pad = resolve_padding(self.padding, ks)
-        return nn.Conv(
+        conv = nn.Conv(
             features=ch,
             kernel_size=ks,
             strides=to_tuple(self.strides),
@@ -92,7 +106,66 @@ class DepthwiseConv(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="dw_conv",
-        )(x)
+        )
+        g = 8
+        if ch % g == 0 and not self.is_initializing() and _use_blockdiag_dw():
+            import jax
+
+            p = self.variables["params"]["dw_conv"]
+            kern = jnp.asarray(p["kernel"], self.dtype or x.dtype)  # (h, w, 1, ch)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (g, ch), 0)
+            chan = jax.lax.broadcasted_iota(jnp.int32, (g, ch), 1)
+            mask = (chan % g == lane).astype(kern.dtype)
+            kern_bd = kern * mask[None, None]  # (h, w, g, ch), off-diag zero
+            if isinstance(pad, str):
+                pad_arg = pad
+            else:
+                pad_arg = [tuple(p_) for p_ in pad]
+            y = jax.lax.conv_general_dilated(
+                jnp.asarray(x, kern.dtype), kern_bd, to_tuple(self.strides),
+                pad_arg, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=ch // g,
+            )
+            if self.use_bias:
+                y = y + jnp.asarray(p["bias"], y.dtype)
+            return y
+        return conv(x)
+
+
+def apply_depthwise_conv(parent, x, kernel_size, strides, padding, name,
+                         dtype=None, use_bias: bool = False):
+    """Inline depthwise conv for functional model builders (kecam-style
+    ``depthwise_conv2d_no_bias`` call sites). Declares the standard
+    ``nn.Conv(feature_group_count=C)`` params, but at inference on TPU (gated
+    by VIPTPU_DW_BLOCKDIAG) lowers to the numerically-identical
+    block-diagonal grouped conv that lands on the MXU (see
+    :func:`_use_blockdiag_dw`). ``parent`` is the calling compact module."""
+    import jax
+
+    ch = x.shape[-1]
+    ks = to_tuple(kernel_size)
+    conv = nn.Conv(
+        ch, ks, strides=to_tuple(strides), padding=padding,
+        feature_group_count=ch, use_bias=use_bias, dtype=dtype, name=name,
+    )
+    g = 8
+    if ch % g == 0 and not parent.is_initializing() and _use_blockdiag_dw():
+        p = parent.variables["params"][name]
+        kern = jnp.asarray(p["kernel"], dtype or x.dtype)  # (h, w, 1, ch)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g, ch), 0)
+        chan = jax.lax.broadcasted_iota(jnp.int32, (g, ch), 1)
+        mask = (chan % g == lane).astype(kern.dtype)
+        kern_bd = kern * mask[None, None]
+        pad_arg = padding if isinstance(padding, str) else [tuple(p_) for p_ in padding]
+        y = jax.lax.conv_general_dilated(
+            jnp.asarray(x, kern.dtype), kern_bd, to_tuple(strides), pad_arg,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=ch // g,
+        )
+        if use_bias:
+            y = y + jnp.asarray(p["bias"], y.dtype)
+        return y
+    return conv(x)
 
 
 class ScaledStdConv(nn.Module):
