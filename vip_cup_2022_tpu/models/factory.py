@@ -75,8 +75,10 @@ def create_model(
         variables = transfer_weights(loaded, variables)
     elif pretrained:
         raise NotImplementedError(
-            "pretrained-weight download is not wired in this environment; "
-            "pass model_path to a converted checkpoint instead"
+            "pretrained-weight download is not wired in this (no-egress) "
+            "environment; pass model_path to a local checkpoint instead — "
+            ".h5/.msgpack, a SavedModel dir, or a timm/PyTorch .pt/.pth "
+            "state dict (weights/torch_pt.py converts on the fly)"
         )
     return module, variables, cfg
 
