@@ -34,6 +34,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent executable cache (same knob as main.py): the fused 7-member
+# program costs minutes to compile through the remote helper; repeat bench
+# runs on this host reuse it. VIPTPU_NO_JIT_CACHE=1 opts out.
+if not int(os.environ.get("VIPTPU_NO_JIT_CACHE", "0")):
+    _cache_dir = os.environ.get(
+        "VIPTPU_JIT_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "vip_cup_2022_tpu_jit"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
 ENSEMBLE = [
     ("convnext_tiny_in22k-200x200", (200, 200)),
     ("ResNest50-200x200", (200, 200)),
