@@ -327,3 +327,59 @@ def test_tfds_init_dataset_with_stub(tmp_path, monkeypatch):
         monkeypatch.delitem(sys.modules, "tensorflow_datasets")
         monkeypatch.setitem(sys.modules, "tensorflow_datasets", None)
         init_dataset("fake_ds", info_only=True)
+
+
+def test_trainer_schedules_snapshots_logger_intacc(tiny_model, tmp_path):
+    """Round-3 trainer hygiene: multistep/exp schedules, keep_n_checkpoints
+    pruning, MetricLogger wiring, integer-label eval accuracy."""
+    module, variables, _ = tiny_model
+    rng = np.random.RandomState(2)
+
+    def data_iter():
+        for _ in range(2):
+            x = rng.uniform(size=(8, 32, 32, 3)).astype(np.float32)
+            y = rng.randint(0, 3, size=8).astype(np.int32)  # int class ids
+            yield x, y
+
+    cfg = TrainConfig(
+        epochs=3, steps_per_epoch=2, lr_base=1e-2, loss="categorical",
+        lr_schedule="multistep", lr_decay_steps=(1, 2), lr_decay_rate=0.1,
+        warmup_epochs=0,
+        ckpt_dir=str(tmp_path), basic_save_name="ms", monitor="loss",
+        keep_n_checkpoints=2, log_dir=str(tmp_path / "logs"),
+    )
+    tr = Trainer(module, variables, cfg)
+    hist = tr.fit(data_iter, val_iter_fn=data_iter)
+    # multistep: lr decays 10x at epoch boundaries 1 and 2
+    assert np.allclose(hist["lr"], [1e-2, 1e-3, 1e-4])
+    # int-label eval accuracy is a real number in [0, 1], not a silent 0-fill
+    assert all(np.isfinite(v) and 0.0 <= v <= 1.0 for v in hist["val_acc"])
+    # keep_n_checkpoints=2: only the 2 newest epoch snapshots survive
+    # snapshot files are ms_epochNNN.msgpack (best-ckpt names differ)
+    import re
+    snaps = sorted(
+        p for p in os.listdir(tmp_path) if re.fullmatch(r"ms_epoch\d{3}\.msgpack", p)
+    )
+    assert snaps == ["ms_epoch002.msgpack", "ms_epoch003.msgpack"]
+    # MetricLogger wrote one JSONL row per epoch (+1 config header)
+    import json as _json
+    rows = [
+        _json.loads(line)
+        for line in open(os.path.join(tmp_path, "logs", "ms.jsonl"))
+    ]
+    assert sum(1 for r in rows if "loss" in r) == 3
+
+    # exp schedule: lr_base * rate^(epoch/step)
+    cfg_exp = TrainConfig(
+        epochs=2, steps_per_epoch=1, lr_base=1e-2, loss="categorical",
+        lr_schedule="exp", lr_decay_steps=(1,), lr_decay_rate=0.5,
+        warmup_epochs=0,
+        ckpt_dir=str(tmp_path / "exp"), basic_save_name="exp", monitor="loss",
+    )
+    tr2 = Trainer(module, variables, cfg_exp)
+    hist2 = tr2.fit(data_iter)
+    assert np.allclose(hist2["lr"], [1e-2, 5e-3])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lr_schedule"):
+        Trainer(module, variables, TrainConfig(lr_schedule="nope"))

@@ -62,6 +62,15 @@ NAME2BS: Dict[str, int] = {
 NATIVE_SIZE = (200, 200)  # competition eval input spec (README.md:69)
 
 
+def _agg_fn(agg: str):
+    """jnp reduction for the reference's ``getattr(np, CFG.agg)`` semantics
+    (main.py:111, :121)."""
+    fn = getattr(jnp, agg, None)
+    if fn is None:
+        raise ValueError(f"unsupported agg {agg!r} (no jnp.{agg} reduction)")
+    return fn
+
+
 def load_manifest(model_dir: str, manifest_path: str, allow_missing: bool = False):
     """Resolve the ckpts.json manifest (reference main.py:186-197 semantics,
     extended to accept native .msgpack checkpoints next to .h5)."""
@@ -107,8 +116,14 @@ class EnsembleEngine:
             # trusting bf16 for a new checkpoint family.
             env = os.environ.get("VIPTPU_DTYPE", "")
             if env:
-                compute_dtype = {"float32": jnp.float32, "f32": jnp.float32,
-                                 "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}[env]
+                dtypes = {"float32": jnp.float32, "f32": jnp.float32,
+                          "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+                if env not in dtypes:
+                    raise ValueError(
+                        f"VIPTPU_DTYPE={env!r} not recognized; accepted "
+                        f"spellings: {'|'.join(sorted(dtypes))}"
+                    )
+                compute_dtype = dtypes[env]
             else:
                 compute_dtype = (
                     jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -171,8 +186,10 @@ class EnsembleEngine:
     # ------------------------------------------------------------------
     # per-model forward program
     # ------------------------------------------------------------------
-    def _build_forward(self, module, dim: Tuple[int, int], tta: int):
+    def _build_forward(self, module, dim: Tuple[int, int], tta: int,
+                       agg: str = "mean"):
         compute_dtype = self.compute_dtype
+        agg_fn = _agg_fn(agg)
 
         def forward(variables, u8, rng):
             x = u8.astype(jnp.float32) / 255.0  # dataset.py:31-37
@@ -183,19 +200,20 @@ class EnsembleEngine:
                 def one(key):
                     return module.apply(variables, apply_augment(key, x))
                 preds = jax.lax.map(one, jax.random.split(rng, tta))
-                return jnp.mean(preds.astype(jnp.float32), axis=0)
+                return agg_fn(preds.astype(jnp.float32), axis=0)
             return module.apply(variables, x).astype(jnp.float32)
 
         return jax.jit(forward, in_shardings=(None, batch_sharding(self.mesh), None))
 
-    def build_fused_ensemble(self, members, tta: int = 1):
+    def build_fused_ensemble(self, members, tta: int = 1, agg: str = "mean"):
         """One jitted program for the WHOLE ensemble (SURVEY.md §7 config 4):
         shared uint8 input -> per-member resize/normalize -> all member
-        forwards back-to-back -> multiclass->binary -> mean over TTA copies,
-        then folds, then members — entirely on device, preserving the
-        reference's nested aggregation order (main.py:111, :121, :142-143).
-        XLA schedules the members as one graph; one dispatch per batch
-        instead of per member x fold x batch.
+        forwards back-to-back -> agg over TTA copies of the raw class probs,
+        multiclass->binary, agg over folds, mean over members — entirely on
+        device, preserving the reference's nested aggregation order
+        (main.py:111 TTA-agg precedes the :113-114 binary map; :121 fold agg;
+        :142-143 member mean). XLA schedules the members as one graph; one
+        dispatch per batch instead of per member x fold x batch.
 
         ``members``: list of (module, dim) — call with ``all_variables``, a
         list (per member) of lists (per fold) of variables pytrees. Returns
@@ -203,9 +221,9 @@ class EnsembleEngine:
         """
         compute_dtype = self.compute_dtype
         specs = [(module, tuple(dim)) for module, dim in members]
+        agg_fn = _agg_fn(agg)
 
-        def member_forward(module, variables, x):
-            p = module.apply(variables, x).astype(jnp.float32)
+        def to_binary(p):
             if p.ndim == 1:
                 p = p[:, None]
             if p.shape[1] > 1:
@@ -222,13 +240,17 @@ class EnsembleEngine:
                 for variables in fold_vars:
                     if tta > 1:
                         def one(key, x=x, module=module, variables=variables):
-                            return member_forward(module, variables, apply_augment(key, x))
+                            return module.apply(
+                                variables, apply_augment(key, x)
+                            ).astype(jnp.float32)
 
                         outs = jax.lax.map(one, jax.random.split(rng, tta))
-                        fold_preds.append(jnp.mean(outs, axis=0))
+                        fold_preds.append(to_binary(agg_fn(outs, axis=0)))
                     else:
-                        fold_preds.append(member_forward(module, variables, x))
-                preds.append(jnp.mean(jnp.stack(fold_preds), axis=0))
+                        fold_preds.append(
+                            to_binary(module.apply(variables, x).astype(jnp.float32))
+                        )
+                preds.append(agg_fn(jnp.stack(fold_preds), axis=0))
             return jnp.mean(jnp.stack(preds), axis=0)
 
         return jax.jit(
@@ -268,7 +290,7 @@ class EnsembleEngine:
                     overrides = json.load(fh)
                 overrides.pop("input_size", None)
         module, variables, cfg = self._create_member(name, dim, overrides)
-        fwd = self._build_forward(module, dim, tta)
+        fwd = self._build_forward(module, dim, tta, agg=agg)
         imgs = self._decode_all(paths)
         n = len(imgs)
 
@@ -332,9 +354,10 @@ class EnsembleEngine:
             members.append((module, tuple(dim)))
             all_variables.append(fold_vars)
 
-        fwd = self.build_fused_ensemble(members, tta=cfg.tta)
+        fwd = self.build_fused_ensemble(members, tta=cfg.tta, agg=cfg.agg)
+        # default batch 256: tuned on v5e (B=512 measured worse, see bench.py)
         batch_size = pad_to_multiple(
-            int(os.environ.get("VIPTPU_MAX_BATCH", "0")) or 128, num_replicas(self.mesh)
+            int(os.environ.get("VIPTPU_MAX_BATCH", "0")) or 256, num_replicas(self.mesh)
         )
         imgs = self._decode_all(test_paths)
         rng = jax.random.PRNGKey(cfg.seed)

@@ -38,8 +38,8 @@ def create_model(
 ):
     """Build ``(module, variables, cfg)`` for a registered model.
 
-    ``model_path`` may point to a native checkpoint (``.msgpack`` /
-    orbax dir) or a Keras ``.h5`` whose weights are converted on the fly via
+    ``model_path`` may point to a native checkpoint (``.msgpack`` file or a
+    dir containing one) or a Keras ``.h5`` whose weights are converted on the fly via
     :mod:`..weights`. Overridden ``in_channels`` / ``nb_classes`` trigger the
     same adaptations as the reference's ``transfer_weights``.
     """
@@ -109,10 +109,18 @@ def load_weights(model_path: str, model_name: str = ""):
     return load_variables(model_path)
 
 
-# Destination paths matching any of these leaf modules are the classifier
-# head; shape mismatches there are the intended "classifier swap"
-# (tfimm factory.py:196-221) and never an error.
-_CLASSIFIER_MODULES = ("predictions", "head", "classifier", "logits")
+# Destination paths whose components start with any of these are the
+# classifier head; shape mismatches there are the intended "classifier swap"
+# (tfimm factory.py:196-221) and never an error. Prefix-matched so ConvNeXt's
+# 'head_fc'/'head_norm' and ViT's 'head_dist' count as classifier modules.
+_CLASSIFIER_PREFIXES = ("predictions", "head", "classifier", "logits")
+
+
+def _is_classifier_path(path) -> bool:
+    return any(
+        isinstance(part, str) and part.startswith(_CLASSIFIER_PREFIXES)
+        for part in path
+    )
 
 
 def transfer_weights(
@@ -144,7 +152,7 @@ def transfer_weights(
     missing, mismatched = [], []
     for path, value in dst.items():
         name = "/".join(map(str, path))
-        is_classifier = any(m in path for m in _CLASSIFIER_MODULES)
+        is_classifier = _is_classifier_path(path)
         if path not in src:
             if not is_classifier:
                 missing.append(name)

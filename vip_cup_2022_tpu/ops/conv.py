@@ -112,7 +112,12 @@ class DepthwiseConv(nn.Module):
             import jax
 
             p = self.variables["params"]["dw_conv"]
-            kern = jnp.asarray(p["kernel"], self.dtype or x.dtype)  # (h, w, 1, ch)
+            # mirror nn.Conv's dtype rule: explicit dtype wins; with
+            # dtype=None flax promotes x with the (f32) params, so a bf16
+            # input computes in f32 — match that so this opt-in path stays
+            # numerically identical to the nn.Conv it replaces
+            compute_dtype = self.dtype or jnp.promote_types(x.dtype, self.param_dtype)
+            kern = jnp.asarray(p["kernel"], compute_dtype)  # (h, w, 1, ch)
             lane = jax.lax.broadcasted_iota(jnp.int32, (g, ch), 0)
             chan = jax.lax.broadcasted_iota(jnp.int32, (g, ch), 1)
             mask = (chan % g == lane).astype(kern.dtype)
@@ -151,7 +156,9 @@ def apply_depthwise_conv(parent, x, kernel_size, strides, padding, name,
     g = 8
     if ch % g == 0 and not parent.is_initializing() and _use_blockdiag_dw():
         p = parent.variables["params"][name]
-        kern = jnp.asarray(p["kernel"], dtype or x.dtype)  # (h, w, 1, ch)
+        # same dtype-promotion rule as DepthwiseConv (match nn.Conv exactly)
+        compute_dtype = dtype or jnp.promote_types(x.dtype, p["kernel"].dtype)
+        kern = jnp.asarray(p["kernel"], compute_dtype)  # (h, w, 1, ch)
         lane = jax.lax.broadcasted_iota(jnp.int32, (g, ch), 0)
         chan = jax.lax.broadcasted_iota(jnp.int32, (g, ch), 1)
         mask = (chan % g == lane).astype(kern.dtype)

@@ -10,7 +10,8 @@ Parity surface (SURVEY.md §2.5/§3.4-3.5):
 
 TPU-native: one jitted train_step with batch sharded over the mesh 'data'
 axis, parameters replicated, gradients all-reduced by XLA from the sharding
-annotations (no hand-written collectives); orbax for resumable state.
+annotations (no hand-written collectives). Resumable state (params +
+optimizer + step) is serialized as a msgpack pytree via utils/checkpoint.
 """
 from __future__ import annotations
 
@@ -31,7 +32,7 @@ from .losses import binary_cross_entropy_timm, categorical_cross_entropy
 from .mixup import mixup_cutmix
 from .optimizers import create_optimizer
 from .sam import sam_gradient
-from .schedules import CosineLrScheduler
+from .schedules import CosineLrScheduler, exp_scheduler, multistep_schedule
 
 
 @dataclasses.dataclass
@@ -39,7 +40,13 @@ class TrainConfig:
     epochs: int = 10
     steps_per_epoch: int = 100
     lr_base: float = 1e-3
-    lr_schedule: str = "cosine"  # cosine | constant
+    # cosine (per-step, with restarts) | constant (fixed lr_base) |
+    # multistep (decay_rate at each boundary in lr_decay_steps) |
+    # exp (decay_rate every lr_decay_steps[0] epochs) — the four the
+    # reference offers (kecam train_func.py:44-59)
+    lr_schedule: str = "cosine"
+    lr_decay_steps: Tuple[int, ...] = (30, 60, 90)
+    lr_decay_rate: float = 0.1
     first_restart_step: float = 10
     warmup_epochs: float = 1
     cooldown_epochs: float = 0
@@ -61,7 +68,15 @@ class TrainConfig:
     monitor_mode: str = "min"
     ckpt_dir: str = "checkpoints"
     basic_save_name: str = "model"
-    keep_n_checkpoints: int = 3
+    # > 0: also keep per-epoch snapshots, pruned to the newest N (the
+    # tf.train.CheckpointManager max_to_keep role); 0: latest + best only
+    keep_n_checkpoints: int = 0
+    # host-sync the loss for the TerminateOnNaN check only every N steps —
+    # a per-step float(loss) serializes dispatch and bounds TPU throughput
+    nan_check_every: int = 50
+    # when set, per-epoch metrics stream to <log_dir>/<basic_save_name>.jsonl
+    # via MetricLogger (kecam MyHistory / tfimm W&B hook role)
+    log_dir: Optional[str] = None
     seed: int = 42
 
 
@@ -83,16 +98,36 @@ class Trainer:
             jnp.array, variables.get("batch_stats", {})
         )
 
-        self.lr_fn = CosineLrScheduler(
-            cfg.lr_base,
-            cfg.first_restart_step,
-            steps_per_epoch=cfg.steps_per_epoch,
-            m_mul=cfg.m_mul,
-            t_mul=cfg.t_mul,
-            lr_min=cfg.lr_min,
-            warmup_steps=cfg.warmup_epochs,
-            cooldown_steps=cfg.cooldown_epochs,
-        )
+        if cfg.lr_schedule == "cosine":
+            self.lr_fn = CosineLrScheduler(
+                cfg.lr_base,
+                cfg.first_restart_step,
+                steps_per_epoch=cfg.steps_per_epoch,
+                m_mul=cfg.m_mul,
+                t_mul=cfg.t_mul,
+                lr_min=cfg.lr_min,
+                warmup_steps=cfg.warmup_epochs,
+                cooldown_steps=cfg.cooldown_epochs,
+            )
+            self._lr_for = lambda step, epoch: self.lr_fn(step)
+        elif cfg.lr_schedule == "constant":
+            self._lr_for = lambda step, epoch: cfg.lr_base
+        elif cfg.lr_schedule == "multistep":
+            self._lr_for = lambda step, epoch: multistep_schedule(
+                epoch, cfg.lr_base, cfg.lr_decay_steps, cfg.lr_decay_rate,
+                warmup_epochs=int(cfg.warmup_epochs),
+            )
+        elif cfg.lr_schedule == "exp":
+            decay_step = cfg.lr_decay_steps[0] if cfg.lr_decay_steps else 1
+            self._lr_for = lambda step, epoch: exp_scheduler(
+                epoch, cfg.lr_base, decay_step, cfg.lr_decay_rate,
+                lr_min=cfg.lr_min, warmup_steps=int(cfg.warmup_epochs),
+            )
+        else:
+            raise ValueError(
+                f"lr_schedule must be cosine|constant|multistep|exp, "
+                f"got {cfg.lr_schedule!r}"
+            )
         # the optimizer is built at unit LR; the jitted step multiplies the
         # produced updates by the lr scalar passed in each call, keeping the
         # compiled program schedule-agnostic (optax scales decoupled weight
@@ -113,6 +148,7 @@ class Trainer:
         self.history: Dict[str, list] = {"lr": [], "loss": [], "val_loss": [], "val_acc": []}
         self._best = math.inf if cfg.monitor_mode == "min" else -math.inf
         self._best_path = None
+        self._epoch_ckpts: list = []
         self._step_fn = None
         self._eval_fn = None
 
@@ -125,6 +161,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def _loss(self, labels, outputs):
         cfg = self.cfg
+        if labels.ndim == outputs.ndim - 1 and jnp.issubdtype(labels.dtype, jnp.integer):
+            labels = jax.nn.one_hot(labels, outputs.shape[-1], dtype=outputs.dtype)
         if cfg.loss == "bce_timm":
             return jnp.mean(
                 binary_cross_entropy_timm(
@@ -197,12 +235,20 @@ class Trainer:
             out = module.apply({"params": params, "batch_stats": batch_stats}, x)
             out = out.astype(jnp.float32)
             loss = self._loss(labels, out)
-            if out.shape[-1] == labels.shape[-1]:
+            if labels.ndim == out.ndim and out.shape[-1] == labels.shape[-1] == 1:
+                # single-logit binary head: threshold, don't argmax a size-1 axis
+                acc = jnp.mean(((out > 0.5) == (labels > 0.5)).astype(jnp.float32))
+            elif labels.ndim == out.ndim and out.shape[-1] == labels.shape[-1]:
                 acc = jnp.mean(
                     (jnp.argmax(out, -1) == jnp.argmax(labels, -1)).astype(jnp.float32)
                 )
+            elif labels.ndim == out.ndim - 1 and jnp.issubdtype(labels.dtype, jnp.integer):
+                # integer class ids: compare against argmax directly
+                acc = jnp.mean((jnp.argmax(out, -1) == labels).astype(jnp.float32))
             else:
-                acc = jnp.zeros(())
+                # no defined accuracy for this label layout: NaN, not a
+                # silently-recorded 0.0
+                acc = jnp.full((), jnp.nan)
             return loss, acc
 
         return jax.jit(eval_step, in_shardings=(replicated(self.mesh), replicated(self.mesh), batch_sharding(self.mesh), batch_sharding(self.mesh)))
@@ -230,6 +276,18 @@ class Trainer:
 
     def save_latest(self):
         return self._save("latest")
+
+    def _save_epoch_snapshot(self, epoch: int):
+        """Per-epoch snapshot, pruned to the newest ``keep_n_checkpoints``
+        (the reference's tf.train.CheckpointManager max_to_keep semantics,
+        tfimm trainer.py:247-259)."""
+        path = self._save(f"epoch{epoch:03d}")
+        self._epoch_ckpts.append(path)
+        while len(self._epoch_ckpts) > self.cfg.keep_n_checkpoints:
+            old = self._epoch_ckpts.pop(0)
+            if old != path and os.path.exists(old):
+                os.remove(old)
+        return path
 
     def maybe_save_best(self, monitor_value: float, epoch: int):
         better = (
@@ -288,16 +346,25 @@ class Trainer:
             self._step_fn = self._build_step()
         if self._eval_fn is None and val_iter_fn is not None:
             self._eval_fn = self._build_eval()
+        logger = None
+        if cfg.log_dir:
+            from .logging import MetricLogger
+
+            logger = MetricLogger(
+                cfg.log_dir, name=cfg.basic_save_name,
+                config=dataclasses.asdict(cfg),
+            )
         rng = jax.random.PRNGKey(cfg.seed)
 
         for epoch in range(self.initial_epoch, cfg.epochs):
             t0 = time.time()
-            losses = []
+            losses = []  # device scalars: fetched once at epoch end
             lr = cfg.lr_base
+            nan_seen = False
             for step, (images, labels) in enumerate(train_iter_fn()):
                 if step >= cfg.steps_per_epoch:
                     break
-                lr = self.lr_fn(self.global_step) if cfg.lr_schedule == "cosine" else cfg.lr_base
+                lr = self._lr_for(self.global_step, epoch)
                 rng, sub = jax.random.split(rng)
                 self.params, self.batch_stats, self.opt_state, loss = self._step_fn(
                     self.params,
@@ -309,14 +376,25 @@ class Trainer:
                     sub,
                 )
                 self.global_step += 1
-                loss = float(loss)
-                if math.isnan(loss) or math.isinf(loss):  # TerminateOnNaN
-                    print(f"NaN/Inf loss at step {self.global_step}; terminating.")
-                    self._dump_history()
-                    return self.history
                 losses.append(loss)
+                # TerminateOnNaN, amortized: a per-step float(loss) would
+                # host-sync every dispatch and bound TPU throughput, so only
+                # the newest loss is fetched every nan_check_every steps
+                if cfg.nan_check_every and (step + 1) % cfg.nan_check_every == 0:
+                    val = float(loss)
+                    if math.isnan(val) or math.isinf(val):
+                        nan_seen = True
+                        break
 
-            epoch_loss = float(np.mean(losses)) if losses else float("nan")
+            host_losses = np.asarray(jax.device_get(jnp.stack(losses))) if losses else np.array([])
+            if nan_seen or (host_losses.size and not np.isfinite(host_losses[-1])):
+                print(f"NaN/Inf loss at step {self.global_step}; terminating.")
+                self._dump_history()
+                if logger is not None:
+                    logger.finish()
+                return self.history
+
+            epoch_loss = float(np.mean(host_losses)) if host_losses.size else float("nan")
             self.history["lr"].append(float(lr))
             self.history["loss"].append(epoch_loss)
 
@@ -335,16 +413,27 @@ class Trainer:
 
             self.initial_epoch = epoch + 1
             self.save_latest()
+            if cfg.keep_n_checkpoints > 0:
+                self._save_epoch_snapshot(epoch + 1)
             monitor = {
                 "val_loss": val_loss, "loss": epoch_loss, "val_acc": val_acc
             }.get(cfg.monitor, val_loss)
             if not math.isnan(monitor):
                 self.maybe_save_best(monitor, epoch)
             self._dump_history()
+            if logger is not None:
+                logger.log(
+                    {"loss": epoch_loss, "val_loss": val_loss,
+                     "val_acc": val_acc, "lr": float(lr),
+                     "epoch_time_s": time.time() - t0, "epoch": epoch + 1},
+                    step=self.global_step,
+                )
             if verbose:
                 print(
                     f"epoch {epoch + 1}/{cfg.epochs} loss={epoch_loss:.4f} "
                     f"val_loss={val_loss:.4f} val_acc={val_acc:.4f} lr={lr:.3e} "
                     f"({time.time() - t0:.1f}s)"
                 )
+        if logger is not None:
+            logger.finish()
         return self.history

@@ -3,7 +3,8 @@
 The reference coexists with three formats (SURVEY.md §5 checkpoint/resume):
 whole-model Keras .h5, tf.train.Checkpoint manager state, and SavedModel
 exports. Here the single native format is a msgpack-serialized variables
-pytree (plus orbax for training state with optimizer/step — see train/).
+pytree — training state (params + optimizer + step) uses the same format
+(train/trainer.py _save/restore_latest).
 """
 from __future__ import annotations
 
