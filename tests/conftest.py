@@ -14,6 +14,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# the 8-virtual-device flag must actually stick: every sharded test silently
+# degrades to 1 device (and stays green) otherwise, so fail loudly here
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()} — "
+    "xla_force_host_platform_device_count did not take effect"
+)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
