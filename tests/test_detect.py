@@ -496,3 +496,126 @@ def test_yolox_custom_backbone():
     assert out.shape == (1, 336, 4 + 4 + 1)
     feats = m.apply(v, x, features_only=True)
     assert [f.shape[-1] for f in feats] == [40, 112, 320]
+
+
+def test_coco_map_golden_interpolation_and_ties():
+    """Hand-derived pycocotools-protocol fixtures (VERDICT r2 item 6).
+
+    Interpolation boundary: 2 gts, 1 exact TP (score .9) + 1 disjoint FP
+    (score .8): recall=[.5,.5], precision envelope=[1,.5]; the 101-point
+    sum takes precision 1.0 at the 51 recall points <= 0.5 and 0 above
+    => AP = 51/101 at every IoU threshold."""
+    from vip_cup_2022_tpu.detect import coco_map
+
+    gt = (np.array([[0, 0, 10, 10], [20, 20, 30, 30]], float), np.zeros(2, int))
+    det = (
+        np.array([[0, 0, 10, 10], [50, 50, 60, 60]], float),
+        np.array([0.9, 0.8]),
+        np.zeros(2, int),
+    )
+    m = coco_map([det], [gt], 1)
+    assert np.isclose(m["AP"], 51 / 101)
+    assert np.isclose(m["AP50"], 51 / 101)
+    # AR: recall tops out at 0.5 at every threshold
+    assert np.isclose(m["AR"], 0.5)
+
+    # score tie: equal scores keep insertion order (stable mergesort, the
+    # pycocotools behavior). FP-before-TP: precision envelope [.5,.5]
+    # => AP = 51*0.5/101; TP-before-FP: [1,.5] => AP = 51/101.
+    det_fp_first = (
+        np.array([[50, 50, 60, 60], [0, 0, 10, 10]], float),
+        np.array([0.5, 0.5]),
+        np.zeros(2, int),
+    )
+    det_tp_first = (
+        np.array([[0, 0, 10, 10], [50, 50, 60, 60]], float),
+        np.array([0.5, 0.5]),
+        np.zeros(2, int),
+    )
+    m_fp = coco_map([det_fp_first], [gt], 1)
+    m_tp = coco_map([det_tp_first], [gt], 1)
+    assert np.isclose(m_fp["AP"], 51 * 0.5 / 101)
+    assert np.isclose(m_tp["AP"], 51 / 101)
+
+
+def test_coco_map_golden_maxdets():
+    """maxDets truncation: 100 high-score FPs bury the single TP (score .1).
+    At maxDets=100 the TP is cut => AP=0; at 101 every one of the 101 recall
+    points interpolates to precision 1/101 => AP = 1/101."""
+    from vip_cup_2022_tpu.detect import coco_map
+
+    gt = (np.array([[0, 0, 10, 10]], float), np.zeros(1, int))
+    fp_boxes = np.stack(
+        [[100 + 20 * i, 100, 110 + 20 * i, 110] for i in range(100)]
+    ).astype(float)
+    boxes = np.concatenate([fp_boxes, np.array([[0, 0, 10, 10]], float)])
+    scores = np.concatenate([np.linspace(0.99, 0.90, 100), [0.1]])
+    det = (boxes, scores, np.zeros(101, int))
+    assert coco_map([det], [gt], 1, max_dets=100)["AP"] == 0.0
+    assert np.isclose(coco_map([det], [gt], 1, max_dets=101)["AP"], 1 / 101)
+
+
+def test_coco_map_golden_area_ranges():
+    """Area buckets: a small (16x16=256 px^2 < 32^2) and a large
+    (200x200 px^2 > 96^2) gt, each with an exact detection, plus one
+    unmatched small-area FP (score .7).
+
+    - AP_small: large gt ignored; the large det matches that ignored gt and
+      is dropped (not a FP); the small FP counts. Detections after ignore
+      filtering: [TP(.9), FP(.7)] -> recall hits 1.0 at the first det, so
+      every recall point interpolates to precision[0]=1.0 => AP_small = 1.0.
+    - AP_large: the small gt and small dets are out of range/ignored =>
+      only the large TP counts => AP_large = 1.0.
+    - AP(all): TP(.9), TP(.8), FP(.7): all 101 points interpolate to
+      precision 1.0 => AP = 1.0 (the trailing FP never lowers the envelope
+      at reached recalls).
+    """
+    from vip_cup_2022_tpu.detect import coco_map
+
+    gt_boxes = np.array([[0, 0, 16, 16], [100, 100, 300, 300]], float)
+    gt = (gt_boxes, np.zeros(2, int))
+    det = (
+        np.array([[0, 0, 16, 16], [100, 100, 300, 300], [400, 400, 416, 416]], float),
+        np.array([0.9, 0.8, 0.7]),
+        np.zeros(3, int),
+    )
+    m = coco_map([det], [gt], 1)
+    assert np.isclose(m["AP"], 1.0)
+    assert np.isclose(m["AP_small"], 1.0)
+    assert np.isclose(m["AP_large"], 1.0)
+    # medium: no gt in range anywhere -> excluded from the mean (NaN->0 via
+    # the nanmean guard, reported as 0.0 only when EVERY class is empty)
+    assert m["AP_medium"] == 0.0
+
+
+def test_coco_map_golden_crowd():
+    """iscrowd semantics: crowd gts are ignore regions with IoU computed
+    against the detection's own area; crowds may absorb multiple detections;
+    absorbed detections are neither TP nor FP.
+
+    d1 (10x10, inside the 100x100 crowd, normal IoU would be 0.01) has
+    crowd-IoU 1.0 -> matched-ignored; d3 likewise even though the crowd is
+    already matched. Only d2 (exact match on the real gt) scores:
+    AP = 1.0. Without crowd handling d1/d3 would be FPs and AP would drop
+    to 51/101 (d1 outranks the TP)."""
+    from vip_cup_2022_tpu.detect import coco_map
+
+    gt = (
+        np.array([[0, 0, 100, 100], [200, 200, 210, 210]], float),
+        np.zeros(2, int),
+        np.array([1, 0]),  # first gt is crowd
+    )
+    det = (
+        np.array([[20, 20, 30, 30], [200, 200, 210, 210], [50, 50, 60, 60]], float),
+        np.array([0.9, 0.8, 0.7]),
+        np.zeros(3, int),
+    )
+    m = coco_map([det], [gt], 1)
+    assert np.isclose(m["AP"], 1.0)
+    assert np.isclose(m["AR"], 1.0)
+
+    # same boxes WITHOUT the crowd flag: d1/d3 fail the 0.01-IoU match and
+    # count as FPs; envelope = [0, 1/2, 1/2] ordered by score -> AP = 51*0.5/101
+    gt_nc = (gt[0], gt[1])
+    m_nc = coco_map([det], [gt_nc], 1)
+    assert np.isclose(m_nc["AP"], 51 * 0.5 / 101)
