@@ -195,3 +195,43 @@ Test: [  24/25]  Time: 0.2  Loss:  5.200 (5.25)  Acc@1:  9.000 ( 8.500)  Acc@5: 
     assert hh["val_loss"] == [5.85, 5.25]
     np.testing.assert_allclose(hh["val_acc"], [0.045, 0.085])
     assert set(parse_timm_log(str(p), ["loss"])) == {"loss"}
+
+
+def test_fuse_all_conv_bn_whole_model(small_resnet):
+    """Whole-model auto-fusion (VERDICT r2 item 8): every discovered conv->BN
+    pair folds and the model output is preserved; BN moments are neutralized
+    exactly (var = 1 - eps so rsqrt(var + eps) == 1)."""
+    from vip_cup_2022_tpu.utils.surgery import (
+        discover_conv_bn_pairs, fuse_all_conv_bn,
+    )
+
+    module, variables, cfg = small_resnet
+    pairs = discover_conv_bn_pairs(variables)
+    # resnet_rs: every BN sits behind a conv (stem x2, per-block 3 + projection)
+    from flax.traverse_util import flatten_dict
+    n_bns = len({p[:-1] for p in flatten_dict(variables["batch_stats"]) if p[-1] == "moving_mean"})
+    assert len(pairs) == n_bns, f"paired {len(pairs)} of {n_bns} BNs"
+
+    x = jnp.asarray(np.random.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+    y0 = module.apply(variables, x)
+    fused, used = fuse_all_conv_bn(variables, eps=cfg.bn_epsilon)
+    assert used == pairs
+    y1 = module.apply(fused, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
+
+
+def test_fuse_all_conv_bn_kecam_naming():
+    """The discovery heuristic also covers kecam-style flat X_conv/X_bn
+    names (EfficientNetV2) including depthwise convs, with tf-mode eps."""
+    from vip_cup_2022_tpu.utils.surgery import fuse_all_conv_bn
+
+    module, variables, cfg = create_model(
+        "EfficientNetV2B0", input_size=(64, 64), nb_classes=3
+    )
+    x = jnp.asarray(np.random.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+    y0 = module.apply(variables, x)
+    eps = 1e-3 if cfg.is_torch_mode is False else 1e-5
+    fused, pairs = fuse_all_conv_bn(variables, eps=eps)
+    assert len(pairs) >= 20  # stem + per-block pw/dw + head
+    y1 = module.apply(fused, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)

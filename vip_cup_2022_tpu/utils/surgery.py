@@ -48,30 +48,106 @@ def convert_precision(variables, dtype=jnp.bfloat16, keep_f32_names=("moving_mea
 def fuse_conv_bn(variables, conv_path: Tuple[str, ...], bn_path: Tuple[str, ...], eps: float = 1e-5):
     """Fold one BN into its preceding conv (model_surgery fuse_conv_bn):
     w' = w * gamma / sqrt(var + eps); b' = beta - gamma * mean / sqrt(var+eps).
-    Returns a new variables dict with the BN neutralized."""
+    Returns a new variables dict with the BN neutralized.
+
+    The BN is neutralized without changing the pytree structure: stats become
+    (mean=0, var=1-eps) so ``rsqrt(var + eps)`` is exactly 1, gamma=1. When
+    the conv has no bias param, the fused bias lives in the BN's beta instead
+    (a bare channel add XLA folds into the conv epilogue); otherwise beta=0
+    and the conv bias carries it."""
     params = flatten_dict(variables["params"])
     stats = flatten_dict(variables.get("batch_stats", {}))
 
     kernel = np.asarray(params[conv_path + ("kernel",)])
-    bias = np.asarray(params.get(conv_path + ("bias",), np.zeros(kernel.shape[-1], kernel.dtype)))
+    has_bias = conv_path + ("bias",) in params
+    bias = (
+        np.asarray(params[conv_path + ("bias",)])
+        if has_bias
+        else np.zeros(kernel.shape[-1], np.float32)
+    )
     gamma = np.asarray(params[bn_path + ("gamma",)])
     beta = np.asarray(params[bn_path + ("beta",)])
     mean = np.asarray(stats[bn_path + ("moving_mean",)])
     var = np.asarray(stats[bn_path + ("moving_variance",)])
 
     scale = gamma / np.sqrt(var + eps)
+    fused_bias = (bias - mean) * scale + beta
     params[conv_path + ("kernel",)] = jnp.asarray(kernel * scale)
-    params[conv_path + ("bias",)] = jnp.asarray((bias - mean) * scale + beta)
     params[bn_path + ("gamma",)] = jnp.ones_like(jnp.asarray(gamma))
-    params[bn_path + ("beta",)] = jnp.zeros_like(jnp.asarray(beta))
     stats[bn_path + ("moving_mean",)] = jnp.zeros_like(jnp.asarray(mean))
-    stats[bn_path + ("moving_variance",)] = jnp.ones_like(jnp.asarray(var))
+    stats[bn_path + ("moving_variance",)] = jnp.full_like(
+        jnp.asarray(var), 1.0 - eps
+    )
+    if has_bias:
+        params[conv_path + ("bias",)] = jnp.asarray(fused_bias)
+        params[bn_path + ("beta",)] = jnp.zeros_like(jnp.asarray(beta))
+    else:
+        params[bn_path + ("beta",)] = jnp.asarray(fused_bias)
 
     out = dict(variables)
     out["params"] = unflatten_dict(params)
     if stats:
         out["batch_stats"] = unflatten_dict(stats)
     return out
+
+
+# conv-module wrapper leaves: a DepthwiseConv module holds its nn.Conv as
+# 'dw_conv'; toolkit Conv wrappers hold theirs as 'conv'
+_CONV_WRAPPER_LEAVES = ("conv", "dw_conv")
+_BN_SPELLINGS = ("bn", "batch_norm", "batchnorm")
+
+
+def discover_conv_bn_pairs(variables):
+    """Find (conv_module, bn_module) pairs by the framework's naming
+    conventions: a conv module (4-D kernel) pairs with the BN in the same
+    parent whose name is the conv's with 'conv' -> 'bn'/'batch_norm'
+    (kecam ``X_conv``/``X_bn``, resnet_rs ``conv_1``/``batch_norm_1``,
+    ``projection_conv``/``projection_batch_norm``), with matching channel
+    counts. Wrapper leaves ('conv' inside a named conv module) are stripped
+    before matching. Each BN pairs at most once."""
+    params = flatten_dict(variables["params"])
+    stats = flatten_dict(variables.get("batch_stats", {}))
+    bns = {p[:-1] for p in stats if p[-1] == "moving_mean"}
+    pairs = []
+    used = set()
+    for path in sorted(p for p in params if p[-1] == "kernel" and params[p].ndim == 4):
+        conv_mod = path[:-1]
+        base = conv_mod
+        if len(base) > 1 and base[-1] in _CONV_WRAPPER_LEAVES:
+            base = base[:-1]
+        name = base[-1]
+        if "conv" not in name:
+            continue
+        for repl in _BN_SPELLINGS:
+            cand = base[:-1] + (name.replace("conv", repl),)
+            if (
+                cand in bns
+                and cand not in used
+                and stats[cand + ("moving_mean",)].shape[-1] == params[path].shape[-1]
+            ):
+                pairs.append((conv_mod, cand))
+                used.add(cand)
+                break
+    return pairs
+
+
+def fuse_all_conv_bn(variables, eps: float = 1e-5, pairs=None):
+    """Fold EVERY conv->BN pair in a model (reference model_surgery
+    fuse_conv_bn walks the whole Keras graph, model_surgery.py:407-501).
+
+    ``pairs`` defaults to :func:`discover_conv_bn_pairs`. ``eps`` must match
+    the model's BN epsilon (resnet_rs 1e-5; efficientnet 1e-3 tf-mode /
+    1e-5 torch-mode). Returns ``(fused_variables, pairs)``.
+
+    Bench note (v5e, r3): XLA already folds inference-mode BN multiplies into
+    the conv epilogue, so fusing moves throughput by ~0 on the ensemble —
+    the tool's value is for export/quantization paths, not runtime speed.
+    """
+    if pairs is None:
+        pairs = discover_conv_bn_pairs(variables)
+    for conv_path, bn_path in pairs:
+        variables = fuse_conv_bn(variables, conv_path, bn_path, eps=eps)
+    return variables, pairs
 
 
 def replace_activation(cfg, target_activation: str):
