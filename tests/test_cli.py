@@ -295,3 +295,25 @@ def test_fused_ensemble_multidevice_sharding(multi_workspace, monkeypatch):
     # partitioned vs single-device compilations reduce in different orders:
     # agreement to ~1 ulp of f32, not bit-exact
     np.testing.assert_allclose(np.asarray(out8), np.asarray(out1), atol=1e-6)
+
+
+def test_decode_stream_equals_in_ram(multi_workspace):
+    """Streaming decode (VERDICT r2 item 5: bounded RAM, decode/compute
+    overlap) yields exactly the batches the in-RAM `_decode_all` path builds,
+    ragged tail included, and does NOT populate the whole-set cache."""
+    from vip_cup_2022_tpu.infer.engine import NATIVE_SIZE, EnsembleEngine
+
+    root, input_csv, names = multi_workspace
+    paths = [str(input_csv.parent / n) for n in names]
+    engine = EnsembleEngine(verbose=0)
+
+    streamed = list(engine._decode_stream(paths, batch_size=4))
+    assert engine._decoded is None  # stream must not cache the whole set
+
+    imgs = engine._decode_all(paths)
+    assert [nv for _, nv in streamed] == [4, 4, 1]
+    flat = np.concatenate([b[:nv] for b, nv in streamed])
+    np.testing.assert_array_equal(flat, np.stack(imgs))
+    assert streamed[0][0].shape == (4, *NATIVE_SIZE, 3)
+    # padded tail rows are zero
+    assert (streamed[-1][0][1:] == 0).all()

@@ -235,3 +235,25 @@ def test_fuse_all_conv_bn_kecam_naming():
     assert len(pairs) >= 20  # stem + per-block pw/dw + head
     y1 = module.apply(fused, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
+
+
+def test_flip_rate_harness_runs():
+    """The bf16-vs-f32 decision-flip harness (tools/flip_rate.py, VERDICT r2
+    item 2) executes end to end and emits the JSON schema PARITY.md records."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "flip_rate.py"), "--cpu",
+         "--members", "1", "--n", "8", "--batch", "8", "--head-scales", "1"],
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["thr"] == 0.487
+    r = summary["results"]["head_scale_1"]
+    assert set(r) >= {"flip_rate", "balanced_acc_bf16_vs_f32", "max_abs_dp"}
+    assert 0.0 <= r["flip_rate"] <= 1.0

@@ -49,5 +49,18 @@ class ImageDecoder:
     def decode_batch(self, paths: Sequence[str]) -> List[np.ndarray]:
         return list(self._pool.map(decode_image, paths))
 
+    def submit_batch(self, paths: Sequence[str], postprocess=None):
+        """Asynchronously decode a chunk: one pool task per image, returning
+        the list of futures (the double-buffering hook for the streaming
+        inference path — the reference's tf.data prefetch analogue,
+        dataset/dataset.py:100-101). ``postprocess`` (e.g. host resize) runs
+        inside the worker so the consumer only gathers finished arrays."""
+        if postprocess is None:
+            return [self._pool.submit(decode_image, p) for p in paths]
+        return [
+            self._pool.submit(lambda p=p: postprocess(decode_image(p)))
+            for p in paths
+        ]
+
     def close(self):
         self._pool.shutdown(wait=False)

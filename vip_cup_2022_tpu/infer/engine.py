@@ -154,6 +154,27 @@ class EnsembleEngine:
         self._decoded = None
         self._decoded_key = None
 
+    def _decode_stream(self, paths: Sequence[str], batch_size: int):
+        """Bounded-memory streaming decode (reference tf.data prefetch,
+        dataset/dataset.py:100-101): yields (uint8 batch, n_valid) with the
+        NEXT chunk decoding on the host pool while the caller's device
+        compute for the CURRENT chunk runs. Host RAM stays O(2 batches)
+        regardless of CSV length — `_decode_all`'s whole-set cache is kept
+        only for the repeat-predict / sequential-member case."""
+        post = lambda im: _host_resize_uint8(im, NATIVE_SIZE)  # noqa: E731
+        pending = self._decoder.submit_batch(paths[:batch_size], post)
+        for start in range(0, len(paths), batch_size):
+            cur = [f.result() for f in pending]
+            nxt = start + batch_size
+            if nxt < len(paths):
+                pending = self._decoder.submit_batch(
+                    paths[nxt : nxt + batch_size], post
+                )
+            batch = np.zeros((batch_size, *NATIVE_SIZE, 3), np.uint8)
+            if cur:
+                batch[: len(cur)] = np.stack(cur)
+            yield batch, len(cur)
+
     # ------------------------------------------------------------------
     # model construction
     # ------------------------------------------------------------------
@@ -359,16 +380,28 @@ class EnsembleEngine:
         batch_size = pad_to_multiple(
             int(os.environ.get("VIPTPU_MAX_BATCH", "0")) or 256, num_replicas(self.mesh)
         )
-        imgs = self._decode_all(test_paths)
+        # streaming by default: decode overlaps compute, RAM is O(2 batches).
+        # The in-RAM decoded cache is used only when a previous call (e.g. the
+        # sequential path over the same CSV) already populated it.
+        if self._decoded is not None and self._decoded_key == tuple(test_paths):
+            imgs = self._decoded
+
+            def _batches():
+                for start in range(0, len(imgs), batch_size):
+                    chunk = imgs[start : start + batch_size]
+                    batch = np.zeros((batch_size, *NATIVE_SIZE, 3), np.uint8)
+                    batch[: len(chunk)] = np.stack(chunk)
+                    yield batch, len(chunk)
+
+            batches = _batches()
+        else:
+            batches = self._decode_stream(test_paths, batch_size)
         rng = jax.random.PRNGKey(cfg.seed)
         outs, valid = [], []
-        for start in range(0, len(imgs), batch_size):
-            chunk = imgs[start : start + batch_size]
-            batch = np.zeros((batch_size, *NATIVE_SIZE, 3), np.uint8)
-            batch[: len(chunk)] = np.stack(chunk)
+        for batch, n_valid in batches:
             rng, sub = jax.random.split(rng)
             outs.append(fwd(all_variables, batch, sub))
-            valid.append(len(chunk))
+            valid.append(n_valid)
         pred = np.concatenate([np.asarray(o)[:nv] for o, nv in zip(outs, valid)], 0)
 
         out_df = pd.DataFrame({"filename": np.array(test_names), "logit": pred[:, 0]})

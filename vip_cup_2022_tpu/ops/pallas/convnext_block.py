@@ -51,6 +51,15 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _gelu(x, flavor: str = "erf"):
+    """GELU on the VPU. 'erf' = exact (A&S erf, |err|<=1.5e-7); 'sigmoid' =
+    x*sigmoid(1.702x) (|err|<~1e-2 absolute — bf16-visible, experiment-only,
+    used to price the erf polynomial's VPU cost)."""
+    if flavor == "sigmoid":
+        return x * jax.nn.sigmoid(1.702 * x)
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -73,7 +82,7 @@ def _pick_row_tile(h: int, w: int, c: int, hidden: int) -> int:
 
 def _kernel(x_ref, wdw_ref, dwb_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
             w2_ref, b2_ref, ls_ref, out_ref, *, th: int, w: int, cp: int,
-            c_real: int, eps: float):
+            c_real: int, eps: float, gelu: str = "erf"):
     r = pl.program_id(1)
     r0 = r * th
 
@@ -100,7 +109,7 @@ def _kernel(x_ref, wdw_ref, dwb_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
     y2 = y.astype(out_ref.dtype).reshape(th * w, cp)
     h = jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:]
-    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))  # exact-erf GELU
+    h = _gelu(h, gelu)
     o = jnp.dot(h.astype(out_ref.dtype), w2_ref[:],
                 preferred_element_type=jnp.float32)
     o = o + b2_ref[:]
@@ -112,7 +121,8 @@ def _kernel(x_ref, wdw_ref, dwb_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
 
 
 def _lnmlp_kernel(x_ref, r_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                  b2_ref, ls_ref, o_ref, *, c_real: int, eps: float):
+                  b2_ref, ls_ref, o_ref, *, c_real: int, eps: float,
+                  gelu: str = "erf"):
     xf = x_ref[:].astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
@@ -121,7 +131,7 @@ def _lnmlp_kernel(x_ref, r_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     h = jnp.dot(y.astype(o_ref.dtype), w1_ref[:],
                 preferred_element_type=jnp.float32)
     h = h + b1_ref[:]
-    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))  # exact-erf GELU
+    h = _gelu(h, gelu)
     o = jnp.dot(h.astype(o_ref.dtype), w2_ref[:],
                 preferred_element_type=jnp.float32)
     o = (o + b2_ref[:]) * ls_ref[:]
@@ -135,6 +145,7 @@ def fused_ln_mlp_residual(
     *,
     eps: float = 1e-6,
     row_tile: int = 1024,
+    gelu: str = "erf",
     interpret: bool = False,
 ) -> jax.Array:
     """LN -> MLP -> layer-scale -> +residual over flattened positions (the
@@ -146,7 +157,7 @@ def fused_ln_mlp_residual(
     r2 = residual.reshape(n, c)
     hidden = w1.shape[1]
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
-    kern = functools.partial(_lnmlp_kernel, c_real=c, eps=eps)
+    kern = functools.partial(_lnmlp_kernel, c_real=c, eps=eps, gelu=gelu)
     t = row_tile
     out = pl.pallas_call(
         kern,
@@ -212,6 +223,7 @@ def fused_convnext_block(
     *,
     eps: float = 1e-6,
     row_tile: Optional[int] = None,
+    gelu: str = "erf",
     interpret: bool = False,
 ) -> jax.Array:
     """Fused whole ConvNeXt block; x is (B, H, W, C), returns same.
@@ -243,7 +255,8 @@ def fused_convnext_block(
         return jnp.pad(a, pads)
 
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
-    kern = functools.partial(_kernel, th=th, w=w, cp=cp, c_real=c, eps=eps)
+    kern = functools.partial(_kernel, th=th, w=w, cp=cp, c_real=c, eps=eps,
+                             gelu=gelu)
 
     out = pl.pallas_call(
         kern,
