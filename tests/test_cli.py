@@ -317,3 +317,52 @@ def test_decode_stream_equals_in_ram(multi_workspace):
     assert streamed[0][0].shape == (4, *NATIVE_SIZE, 3)
     # padded tail rows are zero
     assert (streamed[-1][0][1:] == 0).all()
+
+
+def test_export_artifact_roundtrip(tmp_path):
+    """Serving export (VERDICT r2 item 5/10): the fused-ensemble program
+    serializes to a relocatable artifact dir and the deserialized StableHLO
+    reproduces the live program's outputs from the artifact's own weights —
+    the reference's self-contained SavedModel analogue
+    (classification.py:202-247)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vip_cup_2022_tpu.infer.engine import EnsembleEngine
+    from vip_cup_2022_tpu.infer.export import export_ensemble, load_exported
+    from vip_cup_2022_tpu.models import create_model
+
+    members, all_vars, names = [], [], []
+    for name, dim, overrides in (
+        ("convnext_tiny_in22k", (200, 200),
+         dict(embed_dim=(8, 16, 32, 64), nb_blocks=(1, 1, 1, 1), nb_classes=1,
+              classifier_activation="sigmoid")),
+        ("gcvit_xxtiny", (224, 224),
+         dict(dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8), nb_classes=2,
+              classifier_activation="softmax")),
+    ):
+        module, variables, _ = create_model(name, input_size=dim, **overrides)
+        members.append((module, dim))
+        all_vars.append([variables])
+        names.append(name)
+
+    engine = EnsembleEngine(compute_dtype=jnp.float32, verbose=0)
+    art = export_ensemble(
+        engine, members, all_vars, str(tmp_path / "artifact"),
+        batch_size=8, member_names=names,
+    )
+    assert sorted(os.listdir(art)) == [
+        "manifest.json", "program.jaxexport", "weights.msgpack"]
+
+    call, weights, manifest = load_exported(art)
+    assert manifest["members"] == names
+    assert manifest["batch_size"] == 8
+    assert manifest["n_folds"] == [1, 1]
+
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, size=(8, 200, 200, 3)).astype(np.uint8)
+    key = jax.random.PRNGKey(0)
+    live = engine.build_fused_ensemble(members, tta=1)(all_vars, u8, key)
+    # the artifact's weights, not the live pytree: proves self-containment
+    art_out = call(weights, u8, key)
+    np.testing.assert_allclose(np.asarray(art_out), np.asarray(live), atol=1e-6)

@@ -284,6 +284,7 @@ def main():
     args = ap.parse_args()
     which = set(args.only.split(",")) if args.only else None
 
+    print("imports done; touching device...", flush=True)
     global OVERHEAD
     OVERHEAD = measure_overhead()
     print(f"backend={jax.default_backend()} overhead={OVERHEAD*1e3:.1f}ms",

@@ -226,7 +226,8 @@ class EnsembleEngine:
 
         return jax.jit(forward, in_shardings=(None, batch_sharding(self.mesh), None))
 
-    def build_fused_ensemble(self, members, tta: int = 1, agg: str = "mean"):
+    def build_fused_ensemble(self, members, tta: int = 1, agg: str = "mean",
+                             sharded: bool = True):
         """One jitted program for the WHOLE ensemble (SURVEY.md §7 config 4):
         shared uint8 input -> per-member resize/normalize -> all member
         forwards back-to-back -> agg over TTA copies of the raw class probs,
@@ -274,6 +275,11 @@ class EnsembleEngine:
                 preds.append(agg_fn(jnp.stack(fold_preds), axis=0))
             return jnp.mean(jnp.stack(preds), axis=0)
 
+        if not sharded:
+            # unsharded program: what the relocatable serving artifact
+            # exports (a per-chip program, replicated by the serving layer —
+            # reference per-replica predict split, main.py:106-109)
+            return jax.jit(forward)
         return jax.jit(
             forward, in_shardings=(None, batch_sharding(self.mesh), None)
         )
