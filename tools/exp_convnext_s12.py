@@ -205,25 +205,39 @@ def build_variants(p, c, which):
 
 
 def time_chained(name, fn, x, iters):
-    f = jax.jit(lambda v: jax.lax.fori_loop(0, iters, lambda i, u: fn(u), v))
-    t0 = time.time()
-    try:
+    """Differenced chain timing: the tunnel's per-dispatch overhead is large
+    AND variable (26-700 ms depending on service state), so absolute one-call
+    times are useless. Time chains of K and 4K iterations (min of 3 reps
+    each) and report the marginal — fixed costs cancel exactly."""
+    k1, k2 = iters, 4 * iters
+
+    def run(k):
+        f = jax.jit(lambda v: jax.lax.fori_loop(0, k, lambda i, u: fn(u), v))
+        t0 = time.time()
         r = f(x)
         np.asarray(jax.jit(lambda a: a.reshape(-1)[:8])(r))
+        compile_s = time.time() - t0
+        best = float("inf")
+        x2 = x
+        for _ in range(3):
+            x2 = jax.jit(lambda a: a + jnp.asarray(0.001, a.dtype))(x2)
+            jax.block_until_ready(x2)
+            t0 = time.time()
+            r = f(x2)
+            np.asarray(jax.jit(lambda a: a.reshape(-1)[:8])(r))
+            best = min(best, time.time() - t0)
+        return best, compile_s
+
+    try:
+        t1, c1 = run(k1)
+        t2, c2 = run(k2)
     except Exception as e:  # noqa: BLE001
         print(f"  {name:10s}  FAILED: {type(e).__name__}: {str(e)[:200]}",
               flush=True)
         return None
-    compile_s = time.time() - t0
-    x2 = jax.jit(lambda a: a + jnp.asarray(0.001, a.dtype))(x)
-    jax.block_until_ready(x2)
-    t0 = time.time()
-    r = f(x2)
-    np.asarray(jax.jit(lambda a: a.reshape(-1)[:8])(r))
-    total = time.time() - t0
-    per = (total - OVERHEAD) / iters * 1e3
-    print(f"  {name:10s}  {per:8.2f} ms/block   (compile {compile_s:.0f}s, "
-          f"raw {total*1e3:.0f}ms/{iters})", flush=True)
+    per = (t2 - t1) / (k2 - k1) * 1e3
+    print(f"  {name:10s}  {per:8.2f} ms/block   (compile {c1:.0f}+{c2:.0f}s, "
+          f"totals {t1*1e3:.0f}/{t2*1e3:.0f} ms @ {k1}/{k2})", flush=True)
     return per
 
 

@@ -49,6 +49,18 @@ def _aligned(*dims: int) -> bool:
     return all(d % 128 == 0 for d in dims)
 
 
+def _mm_dtype(x_dtype, *dims, force=None):
+    """Matmul dtype: bf16 when every contraction-relevant dim is 128-aligned
+    (the conservative default — v5e Mosaic crashes on bf16 GEMMs whose LHS is
+    a RESHAPE of a lane-unaligned load). ``force`` overrides: the kernels'
+    LHS values are elementwise-derived from direct loads, not reshapes, so
+    bf16 can be legal at unaligned C (e.g. GCViT L1 C=64) — measured via
+    tools/exp_gcvit_l1.py before changing the default."""
+    if force is not None:
+        return force
+    return x_dtype if _aligned(*dims) else jnp.float32
+
+
 # ---------------------------------------------------------------------------
 # kernel 1: LN + dense (qkv projection)
 # ---------------------------------------------------------------------------
@@ -67,7 +79,7 @@ def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, *o_refs, eps, mm_dtype)
 
 
 def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
-             interpret=False):
+             force_mm_dtype=None, interpret=False):
     """LN over the last axis then a dense projection; x2 is (M, C). With
     ``split`` > 1 the (M, D) result is returned as ``split`` separate
     (M, D/split) arrays (q/k/v), keeping each output's lane dim equal to its
@@ -75,7 +87,7 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
     m, c = x2.shape
     d = w.shape[1]
     width = d // split
-    mm_dtype = x2.dtype if _aligned(c, d) else jnp.float32
+    mm_dtype = _mm_dtype(x2.dtype, c, d, force=force_mm_dtype)
     kern = functools.partial(_ln_dense_kernel, eps=eps, mm_dtype=mm_dtype)
     t = row_tile
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
@@ -103,10 +115,11 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
 # ---------------------------------------------------------------------------
 # kernel 2: block-diagonal grouped window attention
 # ---------------------------------------------------------------------------
-def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads):
-    qfull = q_ref[0].astype(jnp.float32) * scale      # (gN or N, C)
-    kfull = k_ref[0].astype(jnp.float32)
-    vfull = v_ref[0].astype(jnp.float32)
+def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
+                 mm_dtype=jnp.float32):
+    qfull = (q_ref[0].astype(jnp.float32) * scale).astype(mm_dtype)
+    kfull = k_ref[0].astype(mm_dtype)                 # (gN, C)
+    vfull = v_ref[0].astype(mm_dtype)
     c = kfull.shape[1]
     hd = c // heads
     outs = []
@@ -123,7 +136,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads):
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         outs.append(
-            jnp.dot(p, vfull[:, h * hd : (h + 1) * hd],
+            jnp.dot(p.astype(mm_dtype), vfull[:, h * hd : (h + 1) * hd],
                     preferred_element_type=jnp.float32)
         )
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
@@ -131,7 +144,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads):
 
 def grouped_window_attention(
     q, k, v, heads, n, *, bias, scale, group, q_is_global=False,
-    interpret=False,
+    force_mm_dtype=None, interpret=False,
 ):
     """Block-diagonal grouped window attention.
 
@@ -154,7 +167,10 @@ def grouped_window_attention(
     tiled = jnp.tile(bias.astype(jnp.float32), (1, g, g))
     mb = tiled * eye + (1.0 - eye) * -1e9             # (heads, gN, gN)
 
-    kern = functools.partial(_attn_kernel, scale=scale, g=g, n=n, heads=heads)
+    kern = functools.partial(
+        _attn_kernel, scale=scale, g=g, n=n, heads=heads,
+        mm_dtype=force_mm_dtype or jnp.float32,
+    )
     if q_is_global:
         q_spec = pl.BlockSpec((1, n, c), lambda b_, wg: (b_, 0, 0))
     else:
@@ -198,12 +214,12 @@ def _tail_kernel(a_ref, x_ref, wp_ref, bp_ref, g1_ref, lg_ref, lb_ref,
 
 def proj_res_ln_mlp(
     attn_out, x2, wp, bp, gamma1, ln_g, ln_b, w1, b1, w2, b2, gamma2,
-    *, eps=1e-5, row_tile=1024, interpret=False,
+    *, eps=1e-5, row_tile=1024, force_mm_dtype=None, interpret=False,
 ):
     """x + g1*proj(attn) then +g2*MLP(LN(.)) over flat (M, C) tokens."""
     m, c = x2.shape
     hidden = w1.shape[1]
-    mm_dtype = x2.dtype if _aligned(c, hidden) else jnp.float32
+    mm_dtype = _mm_dtype(x2.dtype, c, hidden, force=force_mm_dtype)
     kern = functools.partial(_tail_kernel, eps=eps, mm_dtype=mm_dtype)
     t = row_tile
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
@@ -261,6 +277,7 @@ def fused_window_transformer_block(
     q_global: Optional[jax.Array] = None,  # (B, N, C) global query tokens
     group: Optional[int] = None,
     eps: float = 1e-5,
+    force_mm_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
     b, toks, c = x_win.shape
@@ -275,7 +292,8 @@ def fused_window_transformer_block(
     x2 = x_win.reshape(b * toks, c)
     s_comp = 3 if q_global is None else 2
     parts = ln_dense(
-        x2, ln1_g, ln1_b, wqkv, bqkv, eps=eps, split=s_comp, interpret=interpret
+        x2, ln1_g, ln1_b, wqkv, bqkv, eps=eps, split=s_comp,
+        force_mm_dtype=force_mm_dtype, interpret=interpret
     )
     parts = [part.reshape(b, toks, c) for part in parts]
     if q_global is None:
@@ -287,10 +305,12 @@ def fused_window_transformer_block(
         q_is_global = True
     attn = grouped_window_attention(
         q, k, v, heads, n, bias=bias, scale=scale, group=g,
-        q_is_global=q_is_global, interpret=interpret,
+        q_is_global=q_is_global, force_mm_dtype=force_mm_dtype,
+        interpret=interpret,
     )
     out = proj_res_ln_mlp(
         attn.reshape(b * toks, c), x2, wp, bp, gamma1, ln2_g, ln2_b,
-        w1, b1, w2, b2, gamma2, eps=eps, interpret=interpret,
+        w1, b1, w2, b2, gamma2, eps=eps, force_mm_dtype=force_mm_dtype,
+        interpret=interpret,
     )
     return out.reshape(b, toks, c)
