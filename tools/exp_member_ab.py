@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Full-member A/B throughput runs (round 3, real v5e).
+
+Isolated per-block chains (exp_convnext_s12 / exp_gcvit_l1) measure kernels
+out of context; the decision metric is the FULL member's img/s through the
+production fused-member program (engine.build_fused_ensemble on one member),
+timed with bench.py's pipelined distinct-input pattern. Variants:
+
+  convnext      — convnext_tiny_in22k, gate as shipped (fused at C>=256)
+  convnext_all  — fused_block=True (fused kernel at every stage incl. s1/s2)
+  convnext_off  — fused_block=False (pure XLA)
+  gcvit         — GCViTTiny, fused pipeline, default f32 GEMMs at C<128
+  gcvit_bf16    — VIPTPU_GCVIT_MM=bf16 (force bf16 GEMMs in all three kernels)
+  gcvit_off     — fused_block=False (pure XLA path)
+
+Usage: python tools/exp_member_ab.py convnext convnext_all [--batch 256]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VARIANTS = {
+    "convnext": ("convnext_tiny_in22k", (200, 200), {}, {}),
+    "convnext_all": ("convnext_tiny_in22k", (200, 200), {"fused_block": True}, {}),
+    "convnext_off": ("convnext_tiny_in22k", (200, 200), {"fused_block": False}, {}),
+    "gcvit": ("GCViTTiny", (224, 224), {}, {}),
+    "gcvit_bf16": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_MM": "bf16"}),
+    "gcvit_off": ("GCViTTiny", (224, 224), {"fused_block": False}, {}),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variants", nargs="+", choices=sorted(VARIANTS))
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=6)
+    args = ap.parse_args()
+
+    import bench  # repo-root bench.py: time_program + overhead measurement
+    from vip_cup_2022_tpu.infer.engine import EnsembleEngine
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        cpu = jax.devices()[0]
+    device = jax.devices()[0]
+
+    rng = np.random.RandomState(0)
+    base = jax.device_put(
+        jnp.asarray(rng.randint(0, 256, size=(args.batch, 200, 200, 3),
+                                dtype=np.uint8)), device)
+    bump = jax.jit(lambda x, i: x + jnp.uint8(i))
+    inputs = [jax.block_until_ready(bump(base, i)) for i in range(args.reps + 1)]
+    key = jax.random.PRNGKey(0)
+    engine = EnsembleEngine(verbose=0, compute_dtype=dt)
+
+    from vip_cup_2022_tpu.models import create_model
+
+    for tag in args.variants:
+        name, dim, overrides, env = VARIANTS[tag]
+        old_env = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            with jax.default_device(cpu):
+                module, variables, _ = create_model(
+                    name, input_size=dim, nb_classes=1,
+                    classifier_activation="sigmoid", dtype=dt, **overrides)
+            fv = [[jax.device_put(variables, device)]]
+            one = engine.build_fused_ensemble([(module, dim)], tta=1)
+            t0 = time.time()
+            per_fwd, detail = bench.time_program(lambda x: one(fv, x, key), inputs)
+            print(f"  {tag:14s}  {args.batch/per_fwd:9.1f} img/s   "
+                  f"({per_fwd*1e3:.1f} ms/batch; compile+run1 {time.time()-t0:.0f}s; "
+                  f"total {detail['pipelined_total_s']}s, "
+                  f"overhead {detail['dispatch_overhead_s']}s)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"  {tag:14s}  FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+        finally:
+            for k, v in old_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+
+if __name__ == "__main__":
+    main()

@@ -204,7 +204,13 @@ class GCViTBlock(nn.Module):
     def _fused(self, x, q_global):
         """Whole-block fused Pallas pipeline (inference; params already exist
         during apply — init always runs the Flax path above, creating them).
-        See ops/pallas/gcvit_block.py for the kernel structure."""
+        See ops/pallas/gcvit_block.py for the kernel structure.
+
+        VIPTPU_GCVIT_MM=bf16|f32 overrides the kernels' GEMM dtype (default:
+        follow the compute dtype; bf16 measured +5% on the full member and
+        bf16-equivalent, tools/exp_member_ab.py) — read at trace time."""
+        import os
+
         import jax
 
         from ..ops.attention import relative_position_index
@@ -241,6 +247,8 @@ class GCViTBlock(nn.Module):
             gamma1=gamma1, gamma2=gamma2,
             scale=cfg.qk_scale,
             q_global=q_global,
+            force_mm_dtype={"bf16": jnp.bfloat16, "f32": jnp.float32}.get(
+                os.environ.get("VIPTPU_GCVIT_MM", "")),
             interpret=jax.default_backend() != "tpu",
         )
         return window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)

@@ -26,9 +26,11 @@ reference attention.py:62-66) swaps kernel 2's Q source for the q_global
 buffer and tiles it across the group.
 
 Matmul dtype rule (v5e Mosaic): bf16 LHS reshaped from lane-unaligned loads
-crashes the backend compiler, and head_dim (32) is always unaligned — so the
-attention GEMMs run in f32 (tiny anyway); the projection/MLP GEMMs use bf16
-only when C and hidden are 128-multiples. GELU uses the Abramowitz-Stegun
+crashes the backend compiler — but these kernels' GEMM LHS are
+elementwise-derived values (never reshapes of unaligned loads), so every
+GEMM follows the compute dtype (bf16 on TPU) even at C=64/head_dim=32;
+verified on-chip round 3 (+5% full-member, bf16-level equivalence). Set
+VIPTPU_GCVIT_MM=f32 to restore f32 GEMMs. GELU uses the Abramowitz-Stegun
 erf (no erf primitive in Mosaic). Inference-only: training uses the Flax
 path, whose gradients XLA derives.
 """
@@ -50,15 +52,19 @@ def _aligned(*dims: int) -> bool:
 
 
 def _mm_dtype(x_dtype, *dims, force=None):
-    """Matmul dtype: bf16 when every contraction-relevant dim is 128-aligned
-    (the conservative default — v5e Mosaic crashes on bf16 GEMMs whose LHS is
-    a RESHAPE of a lane-unaligned load). ``force`` overrides: the kernels'
-    LHS values are elementwise-derived from direct loads, not reshapes, so
-    bf16 can be legal at unaligned C (e.g. GCViT L1 C=64) — measured via
-    tools/exp_gcvit_l1.py before changing the default."""
+    """Matmul dtype: follow the compute dtype (bf16 on TPU) regardless of
+    lane alignment. The old conservative rule forced f32 at C % 128 != 0 out
+    of fear of the v5e Mosaic crash on bf16 GEMMs — but that crash is
+    specific to LHS values RESHAPED from lane-unaligned loads; these kernels'
+    LHS are elementwise-derived, and round-3 on-chip runs (tools/
+    exp_gcvit_l1.py + tools/exp_member_ab.py) confirmed bf16 at C=64/hd=32 is
+    legal, bf16-equivalent (max|d| 0.016 on unit inputs) and +5% on the full
+    GCViTTiny member (2,891 -> 3,030 img/s). ``force`` (or the model-level
+    VIPTPU_GCVIT_MM=f32 env) restores f32."""
+    del dims
     if force is not None:
         return force
-    return x_dtype if _aligned(*dims) else jnp.float32
+    return x_dtype
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +175,7 @@ def grouped_window_attention(
 
     kern = functools.partial(
         _attn_kernel, scale=scale, g=g, n=n, heads=heads,
-        mm_dtype=force_mm_dtype or jnp.float32,
+        mm_dtype=_mm_dtype(k.dtype, force=force_mm_dtype),
     )
     if q_is_global:
         q_spec = pl.BlockSpec((1, n, c), lambda b_, wg: (b_, 0, 0))
