@@ -90,9 +90,29 @@ class TestFusedConvNeXtBlock:
         out = blockdiag_dw7x7(x, k, b, group=8)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    @pytest.mark.parametrize("C", [16, 96])
+    def test_batchlane_block_matches_reference(self, C):
+        """Batch-last (H, W, C, B) whole block == the NHWC reference block."""
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.convnext_block import (
+            fused_convnext_block_batchlane,
+        )
+
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.uniform(-1, 1, (3, 9, 11, C)).astype(np.float32))
+        args = self._args(C, rng)
+        xt = jnp.transpose(x, (1, 2, 3, 0))
+        out = jnp.transpose(
+            fused_convnext_block_batchlane(xt, *args, interpret=True), (3, 0, 1, 2)
+        )
+        ref = self._reference(x, args, C)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
     def test_model_fused_gate_matches_unfused(self):
-        """ConvNeXt with the fused C>=256 path produces the same output as
-        the plain Flax path (interpret-mode pallas on CPU)."""
+        """ConvNeXt with the fused paths (batch-last at C<256, whole-image at
+        C>=256) produces the same output as the plain Flax path
+        (interpret-mode pallas on CPU)."""
         import jax.numpy as jnp
 
         from vip_cup_2022_tpu.models import create_model

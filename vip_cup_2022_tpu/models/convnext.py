@@ -68,13 +68,38 @@ class ConvNeXtBlock(nn.Module):
     drop_path_rate: float
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, batch_last: bool = False):
         cfg = self.cfg
         c = self.embed_dim
-        # fused whole-block kernel pays off only at C >= 256 (few positions,
-        # wide channels: stages 3-4). At stage-1/2 widths the VPU depthwise
-        # taps and the XLA<->pallas relayouts cost more than they save
-        # (measured v5e: 83 ms/block hybrid vs 24 ms pure-XLA at 99x99x96).
+        # Narrow stages (C < 256, stages 1-2) run batch-last: the stage loop
+        # transposes to (H, W, C, B) once, every block runs the HWCN
+        # block-diagonal depthwise + batch-lane LN/MLP kernel (batch = lane
+        # dim, 128-aligned regardless of C), and the stage transposes back.
+        # Measured v5e 256-batch marginals: 13.3 ms/block at 99x99x96 vs ~24
+        # XLA; 1-4 ms at 49x49x192 vs 14.4 (tools/exp_convnext_s12.py).
+        if batch_last and not self.is_initializing():
+            import jax
+
+            from ..ops.pallas.convnext_block import fused_convnext_block_batchlane
+
+            p = self.variables["params"]
+            return fused_convnext_block_batchlane(
+                x,
+                p["conv_dw"]["kernel"][:, :, 0, :],
+                p["conv_dw"]["bias"],
+                p["norm"]["gamma"],
+                p["norm"]["beta"],
+                p["mlp_fc1"]["kernel"],
+                p["mlp_fc1"]["bias"],
+                p["mlp_fc2"]["kernel"],
+                p["mlp_fc2"]["bias"],
+                p["gamma"],
+                eps=cfg.norm_eps,
+                interpret=jax.default_backend() != "tpu",
+            )
+        # fused whole-image kernel pays off at C >= 256 (few positions,
+        # wide channels: stages 3-4), where the VPU depthwise taps are cheap
+        # and the single VMEM pass beats XLA ~1.5x.
         if c >= 256 and _use_fused_block(cfg, training) and not self.is_initializing():
             # whole-block Pallas kernel; params already exist during apply
             # (init always takes the unfused path below, creating them)
@@ -141,6 +166,7 @@ class ConvNeXt(nn.Module):
 
         dpr = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.nb_blocks))
         pos = 0
+        fused = _use_fused_block(cfg, training) and not self.is_initializing()
         for j, nb in enumerate(cfg.nb_blocks):
             if j > 0:
                 x = LayerNorm(epsilon=cfg.norm_eps, name=f"stages_{j}_downsample_norm")(x)
@@ -148,11 +174,18 @@ class ConvNeXt(nn.Module):
                     cfg.embed_dim[j], (2, 2), strides=(2, 2), padding="VALID",
                     dtype=cfg.dtype, name=f"stages_{j}_downsample_conv",
                 )(x)
+            # narrow stages run batch-last (see ConvNeXtBlock); one transpose
+            # pair per stage (~0.3 ms at stage-1 scale, tools/exp_convnext_s12)
+            batch_last = fused and cfg.embed_dim[j] < 256
+            if batch_last:
+                x = jnp.transpose(x, (1, 2, 3, 0))
             for idx in range(nb):
                 x = ConvNeXtBlock(
                     cfg, cfg.embed_dim[j], float(dpr[pos]), name=f"stages_{j}_blocks_{idx}"
-                )(x, training=training)
+                )(x, training=training, batch_last=batch_last)
                 pos += 1
+            if batch_last:
+                x = jnp.transpose(x, (3, 0, 1, 2))
 
         if features_only:
             return x

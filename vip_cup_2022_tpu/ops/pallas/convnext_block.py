@@ -184,6 +184,129 @@ def fused_ln_mlp_residual(
     return out.reshape(bsz, h, w, c)
 
 
+def _lnmlp_batchlane_kernel(x_ref, r_ref, g_ref, b_ref, w1t_ref, b1_ref,
+                            w2t_ref, b2_ref, ls_ref, o_ref, *, tp: int,
+                            eps: float, gelu: str = "erf"):
+    """LN+MLP+layer-scale+residual with BATCH as the lane dimension.
+
+    Blocks are (tp, C, B): B is lane-aligned by construction (batch 256), C
+    rides sublanes. Channel params come in as (C, 1)/(hidden, 1) column
+    vectors so no lane<->sublane relayout happens in-kernel. The dots
+    contract over C with DIRECT-loaded (hidden, C) weights — legal in bf16
+    even at C % 128 != 0 (the v5e Mosaic crash is specific to reshapes of
+    lane-unaligned loads; these are direct 2-D loads)."""
+    for p in range(tp):
+        y = x_ref[p].astype(jnp.float32)              # (C, B)
+        mean = y.mean(axis=0, keepdims=True)          # LN over C (sublanes)
+        var = ((y - mean) ** 2).mean(axis=0, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + eps)
+        y = y * g_ref[:] + b_ref[:]                   # (C,1) broadcasts lanes
+        h = jnp.dot(w1t_ref[:], y.astype(o_ref.dtype),
+                    preferred_element_type=jnp.float32)   # (hidden, B)
+        h = h + b1_ref[:]
+        h = _gelu(h, gelu)
+        o = jnp.dot(w2t_ref[:], h.astype(o_ref.dtype),
+                    preferred_element_type=jnp.float32)   # (C, B)
+        o = (o + b2_ref[:]) * ls_ref[:]
+        o_ref[p] = (o + r_ref[p].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_ln_mlp_residual_batchlane(
+    dw_out: jax.Array,      # (H, W, C, B) — depthwise-conv output, batch-last
+    residual: jax.Array,    # (H, W, C, B) — the block input
+    ln_gamma, ln_beta, w1, b1, w2, b2, ls_gamma,
+    *,
+    eps: float = 1e-6,
+    row_tile: int = 8,
+    gelu: str = "erf",
+    interpret: bool = False,
+) -> jax.Array:
+    """Batch-last twin of :func:`fused_ln_mlp_residual` for the narrow
+    stages. In (H, W, C, B) layout the batch (256) is the lane dimension —
+    perfectly 128-aligned regardless of C — and the MLP contracts over C on
+    the sublane axis with direct-loaded transposed weights, so the bf16 MXU
+    path is legal at C=96/192 where the row-major kernel must lane-pad.
+    Measured v5e (256-batch, marginal): 13.3 ms/block at 99x99x96 vs 29.4 for
+    the padded row-major kernel and ~24 for XLA; 1-4 ms at 49x49x192 vs 14.4
+    (tools/exp_convnext_s12.py). Weights arrive in the model's (C, hidden)
+    convention and are transposed here (tiny, fused by XLA into the feed)."""
+    h_, w_, c, b = dw_out.shape
+    n = h_ * w_
+    x2 = dw_out.reshape(n, c, b)
+    r2 = residual.reshape(n, c, b)
+    hidden = w1.shape[1]
+    col = lambda a: jnp.asarray(a, jnp.float32)[:, None]  # noqa: E731
+    kern = functools.partial(_lnmlp_batchlane_kernel, tp=row_tile, eps=eps,
+                             gelu=gelu)
+    out = pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(n, row_tile),),
+        in_specs=[
+            pl.BlockSpec((row_tile, c, b), lambda i: (i, 0, 0)),
+            pl.BlockSpec((row_tile, c, b), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c, 1), lambda i: (0, 0)),
+            pl.BlockSpec((c, 1), lambda i: (0, 0)),
+            pl.BlockSpec((hidden, c), lambda i: (0, 0)),
+            pl.BlockSpec((hidden, 1), lambda i: (0, 0)),
+            pl.BlockSpec((c, hidden), lambda i: (0, 0)),
+            pl.BlockSpec((c, 1), lambda i: (0, 0)),
+            pl.BlockSpec((c, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((row_tile, c, b), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c, b), dw_out.dtype),
+        interpret=interpret,
+    )(
+        x2, r2, col(ln_gamma), col(ln_beta),
+        jnp.asarray(w1, dw_out.dtype).T, col(b1),
+        jnp.asarray(w2, dw_out.dtype).T, col(b2), col(ls_gamma),
+    )
+    return out.reshape(h_, w_, c, b)
+
+
+def blockdiag_dw7x7_hwcn(x: jax.Array, dw_kernel: jax.Array,
+                         dw_bias: jax.Array, group: int = 8) -> jax.Array:
+    """Batch-last twin of :func:`blockdiag_dw7x7`: depthwise 7x7 on a
+    (H, W, C, N) array via HWCN dimension numbers, block-diagonal grouped
+    kernel (off-diagonal taps exactly zero => numerically identical)."""
+    c = x.shape[2]
+    g = group if c % group == 0 else 1
+    if g == 1:
+        kern = dw_kernel[:, :, None, :]
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g, c), 0)
+        chan = jax.lax.broadcasted_iota(jnp.int32, (g, c), 1)
+        mask = (chan % g == lane).astype(dw_kernel.dtype)
+        kern = dw_kernel[:, :, None, :] * mask[None, None]
+    out = jax.lax.conv_general_dilated(
+        x, kern.astype(x.dtype), (1, 1), [(3, 3), (3, 3)],
+        dimension_numbers=("HWCN", "HWIO", "HWCN"),
+        feature_group_count=c // g,
+    )
+    return out + dw_bias.astype(out.dtype)[:, None]
+
+
+def fused_convnext_block_batchlane(
+    xt: jax.Array,          # (H, W, C, B) batch-last block input
+    dw_kernel: jax.Array,   # (7, 7, C)
+    dw_bias: jax.Array,     # (C,)
+    ln_gamma, ln_beta, w1, b1, w2, b2, ls_gamma,
+    *,
+    eps: float = 1e-6,
+    gelu: str = "erf",
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole ConvNeXt block in batch-last land: block-diagonal depthwise via
+    the conv unit (HWCN dimension numbers) + the batch-lane LN/MLP kernel.
+    Both halves live in the same layout domain, so none of the XLA<->pallas
+    relayouts that sank the row-major hybrid (83 ms/block, NOTES_r2) occur.
+    The production choice for ConvNeXt stages with C < 256."""
+    dw = blockdiag_dw7x7_hwcn(xt, dw_kernel, dw_bias)
+    return fused_ln_mlp_residual_batchlane(
+        dw, xt, ln_gamma, ln_beta, w1, b1, w2, b2, ls_gamma,
+        eps=eps, gelu=gelu, interpret=interpret,
+    )
+
+
 def blockdiag_dw7x7(x: jax.Array, dw_kernel: jax.Array, dw_bias: jax.Array,
                     group: int = 8) -> jax.Array:
     """Depthwise 7x7 via a block-diagonal grouped conv. XLA's true-depthwise
