@@ -139,6 +139,82 @@ def bdiag_dw_hwcn(x, dw_kernel, dw_bias, group: int = 8):
     return out + dw_bias.astype(out.dtype)[:, None]
 
 
+# ------------------------------------------------------------- channel-first
+def _lnmlp_cf_kernel(x_ref, r_ref, g_ref, b_ref, w1t_ref, b1_ref, w2t_ref,
+                     b2_ref, ls_ref, o_ref, *, eps: float):
+    """LN+MLP+layerscale+residual in channel-first (C, L) tiles: one big
+    lane tile per program (L = 512-2048 columns of H*W*B), LN reduces over
+    the sublane axis (C rows), and each dot is a single (hidden, C) @ (C, L)
+    GEMM — no tp-loop of small GEMMs."""
+    y = x_ref[:].astype(jnp.float32)                  # (C, L)
+    mean = y.mean(axis=0, keepdims=True)
+    var = ((y - mean) ** 2).mean(axis=0, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[:] + b_ref[:]
+    h = jnp.dot(w1t_ref[:], y.astype(o_ref.dtype),
+                preferred_element_type=jnp.float32)   # (hidden, L)
+    h = h + b1_ref[:]
+    h = _gelu(h)
+    o = jnp.dot(w2t_ref[:], h.astype(o_ref.dtype),
+                preferred_element_type=jnp.float32)   # (C, L)
+    o = (o + b2_ref[:]) * ls_ref[:]
+    o_ref[:] = (o + r_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def lnmlp_chanfirst(dw_out, residual, ln_gamma, ln_beta, w1, b1, w2, b2,
+                    ls_gamma, *, eps: float = EPS, lane_tile: int = 1024):
+    """dw_out/residual are (C, H, W, B); returns same."""
+    c, h_, w_, b = dw_out.shape
+    n = h_ * w_ * b
+    x2 = dw_out.reshape(c, n)
+    r2 = residual.reshape(c, n)
+    hidden = w1.shape[1]
+    col = lambda a: jnp.asarray(a, jnp.float32)[:, None]  # noqa: E731
+    kern = functools.partial(_lnmlp_cf_kernel, eps=eps)
+    lt = lane_tile
+    out = pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(n, lt),),
+        in_specs=[
+            pl.BlockSpec((c, lt), lambda i: (0, i)),
+            pl.BlockSpec((c, lt), lambda i: (0, i)),
+            pl.BlockSpec((c, 1), lambda i: (0, 0)),
+            pl.BlockSpec((c, 1), lambda i: (0, 0)),
+            pl.BlockSpec((hidden, c), lambda i: (0, 0)),
+            pl.BlockSpec((hidden, 1), lambda i: (0, 0)),
+            pl.BlockSpec((c, hidden), lambda i: (0, 0)),
+            pl.BlockSpec((c, 1), lambda i: (0, 0)),
+            pl.BlockSpec((c, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((c, lt), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((c, n), dw_out.dtype),
+    )(
+        x2, r2, col(ln_gamma), col(ln_beta),
+        jnp.asarray(w1, dw_out.dtype).T, col(b1),
+        jnp.asarray(w2, dw_out.dtype).T, col(b2), col(ls_gamma),
+    )
+    return out.reshape(c, h_, w_, b)
+
+
+def bdiag_dw_chwn(x, dw_kernel, dw_bias, group: int = 8):
+    """Block-diagonal grouped depthwise with channel-first dim numbers."""
+    c = x.shape[0]
+    g = group if c % group == 0 else 1
+    if g == 1:
+        kern = dw_kernel[:, :, None, :]
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g, c), 0)
+        chan = jax.lax.broadcasted_iota(jnp.int32, (g, c), 1)
+        mask = (chan % g == lane).astype(dw_kernel.dtype)
+        kern = dw_kernel[:, :, None, :] * mask[None, None]
+    out = jax.lax.conv_general_dilated(
+        x, kern.astype(x.dtype), (1, 1), [(3, 3), (3, 3)],
+        dimension_numbers=("CHWN", "HWIO", "CHWN"),
+        feature_group_count=c // g,
+    )
+    return out + dw_bias.astype(out.dtype)[:, None, None, None]
+
+
 # ------------------------------------------------------------------ variants
 def make_params(c, hidden, rng):
     r = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.05)  # noqa: E731
@@ -198,10 +274,25 @@ def build_variants(p, c, which):
             bdiag_dw_hwcn(xt, P["wdw"], P["bdw"]), xt,
             P["g"], P["b"], P["w1"], P["b1"], P["w2"], P["b2"], P["ls"]),
     }
+    # chwn variant chains in (C, H, W, B) land
+    vc = {
+        "hyb_chwn": lambda xc: lnmlp_chanfirst(
+            bdiag_dw_chwn(xc, P["wdw"], P["bdw"]), xc,
+            P["g"], P["b"], P["w1"], P["b1"], P["w2"], P["b2"], P["ls"]),
+        "hyb_chwn_l512": lambda xc: lnmlp_chanfirst(
+            bdiag_dw_chwn(xc, P["wdw"], P["bdw"]), xc,
+            P["g"], P["b"], P["w1"], P["b1"], P["w2"], P["b2"], P["ls"],
+            lane_tile=512),
+        "hyb_chwn_l2048": lambda xc: lnmlp_chanfirst(
+            bdiag_dw_chwn(xc, P["wdw"], P["bdw"]), xc,
+            P["g"], P["b"], P["w1"], P["b1"], P["w2"], P["b2"], P["ls"],
+            lane_tile=2048),
+    }
     if which:
         v = {k: f for k, f in v.items() if k in which}
         vt = {k: f for k, f in vt.items() if k in which}
-    return v, vt
+        vc = {k: f for k, f in vc.items() if k in which}
+    return v, vt, vc
 
 
 def time_chained(name, fn, x, iters):
@@ -250,9 +341,11 @@ def measure_overhead():
     return time.time() - t0
 
 
-def check_equiv(variants, vt, x, c):
+def check_equiv(variants, vt, vc, x, c):
     """bf16-tolerance equivalence of every variant vs xla on a small slab."""
     xs = x[:2]
+    if "xla" not in variants:
+        return
     ref = np.asarray(variants["xla"](xs)).astype(np.float32)
     for n, f in variants.items():
         if n in ("xla", "tposes", "dw_true", "dw_bdiag", "lnmlp", "fused_sig"):
@@ -265,6 +358,13 @@ def check_equiv(variants, vt, x, c):
         got = np.asarray(jnp.transpose(vt["hyb_hwcn"](xt), (3, 0, 1, 2)))
         d = np.abs(got.astype(np.float32) - ref).max()
         print(f"  equiv hyb_hwcn: max|d| = {d:.4f}", flush=True)
+    for n, f in vc.items():
+        if n != "hyb_chwn":
+            continue
+        xc = jnp.transpose(xs, (3, 1, 2, 0))
+        got = np.asarray(jnp.transpose(f(xc), (3, 1, 2, 0)))
+        d = np.abs(got.astype(np.float32) - ref).max()
+        print(f"  equiv {n}: max|d| = {d:.4f}", flush=True)
 
 
 def run_shape(tag, b, h, w, c, hidden, iters, which, skip_equiv):
@@ -274,9 +374,9 @@ def run_shape(tag, b, h, w, c, hidden, iters, which, skip_equiv):
     key = jax.random.PRNGKey(1)
     x = jax.jit(lambda k: jax.random.normal(k, (b, h, w, c), DT))(key)
     jax.block_until_ready(x)
-    v, vt = build_variants(p, c, which)
+    v, vt, vc = build_variants(p, c, which)
     if not skip_equiv:
-        check_equiv(v, vt, x, c)
+        check_equiv(v, vt, vc, x, c)
     res = {}
     for name, fn in v.items():
         res[name] = time_chained(name, fn, x, iters)
@@ -285,12 +385,18 @@ def run_shape(tag, b, h, w, c, hidden, iters, which, skip_equiv):
         jax.block_until_ready(xt)
         for name, fn in vt.items():
             res[name] = time_chained(name, fn, xt, iters)
+    if vc:
+        xc = jax.jit(lambda a: jnp.transpose(a, (3, 1, 2, 0)))(x)
+        jax.block_until_ready(xc)
+        for name, fn in vc.items():
+            res[name] = time_chained(name, fn, xc, iters)
     return res
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("shape", nargs="?", default="all", choices=["s1", "s2", "all"])
+    ap.add_argument("shape", nargs="?", default="all",
+                    choices=["s1", "s2", "s3", "s4", "all"])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--only", type=str, default="")
@@ -308,6 +414,14 @@ def main():
                   args.skip_equiv)
     if args.shape in ("s2", "all"):
         run_shape("s2", args.batch, 49, 49, 192, 768, args.iters, which,
+                  args.skip_equiv)
+    # wide stages: C is 128-aligned so the row-major whole-image kernel is
+    # already legal in bf16; these probe whether batch-last wins anyway
+    if args.shape == "s3":
+        run_shape("s3", args.batch, 24, 24, 384, 1536, args.iters, which,
+                  args.skip_equiv)
+    if args.shape == "s4":
+        run_shape("s4", args.batch, 12, 12, 768, 3072, args.iters, which,
                   args.skip_equiv)
 
 
