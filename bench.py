@@ -32,7 +32,18 @@ VIPTPU_BENCH_MEMBERS=1 adds per-member timings (roughly doubles runtime).
 """
 import json
 import os
+import subprocess
+import sys
 import time
+
+# --flops-probe self-mode (used by main() in a subprocess): count the
+# ensemble's ALGORITHMIC FLOPs by compiling the UNFUSED program on the CPU
+# backend at a small batch — XLA's cost analysis reports 0 FLOPs for pallas
+# custom calls, so the TPU-compiled fused program undercounts; the unfused
+# trace counts every conv/dot, and FLOPs scale linearly in batch.
+if "--flops-probe" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["VIPTPU_NO_FUSED_BLOCK"] = "1"
 
 import jax
 import jax.numpy as jnp
@@ -149,6 +160,41 @@ def batch_latency(fn, inputs):
     return float(np.median(lats)), [round(v * 1e3, 1) for v in lats]
 
 
+def _build_members(engine, compute_dtype, init_device):
+    from vip_cup_2022_tpu.infer.engine import registry_name
+    from vip_cup_2022_tpu.models import create_model, is_model
+
+    members = []
+    for dirname, dim in ENSEMBLE:
+        name = registry_name(dirname)
+        if not is_model(name):
+            continue
+        with jax.default_device(init_device):
+            module, variables, _ = create_model(
+                name, input_size=dim, nb_classes=1,
+                classifier_activation="sigmoid", dtype=compute_dtype,
+            )
+        members.append((module, dim, variables))
+    return members
+
+
+def flops_probe(batch: int = 8):
+    """--flops-probe mode (CPU subprocess): algorithmic FLOPs/img of the
+    unfused ensemble program. Prints one JSON line."""
+    from vip_cup_2022_tpu.infer.engine import EnsembleEngine
+
+    engine = EnsembleEngine(verbose=0, compute_dtype=jnp.float32)
+    triples = _build_members(engine, jnp.float32, jax.devices()[0])
+    members = [(m, d) for m, d, _ in triples]
+    all_variables = [[v] for _, _, v in triples]
+    x = jnp.zeros((batch, 200, 200, 3), jnp.uint8)
+    fused = engine.build_fused_ensemble(members, tta=1)
+    analysis = fused.lower(all_variables, x, jax.random.PRNGKey(0)).compile().cost_analysis()
+    if isinstance(analysis, list):
+        analysis = analysis[0]
+    print(json.dumps({"flops_per_img": float(analysis.get("flops", 0.0)) / batch}))
+
+
 def main():
     from vip_cup_2022_tpu.infer.engine import EnsembleEngine, registry_name
     from vip_cup_2022_tpu.models import create_model, is_model
@@ -161,6 +207,12 @@ def main():
     except Exception:
         cpu = jax.devices()[0]
     device = jax.devices()[0]
+    # liveness marker for wrappers (tools/tpu_retry.sh): the first real device
+    # op is where a wedged axon tunnel hangs, so probe it before the long
+    # CPU-side model init and announce success on stderr.
+    jax.block_until_ready(jax.device_put(jnp.zeros((8,), jnp.float32), device))
+    print(f"[bench] device bound: {device.device_kind}",
+          file=__import__("sys").stderr, flush=True)
     members, all_variables = [], []
     for dirname, dim in ENSEMBLE:
         name = registry_name(dirname)
@@ -233,12 +285,35 @@ def main():
         # second BASELINE.json metric: one CSV batch dispatch+fetch, p50
         detail["p50_batch_latency_ms"] = p50_ms
         detail["batch_latency_ms"] = lats_ms
+    flops_img_alg = 0.0
+    if not int(os.environ.get("VIPTPU_BENCH_NO_FLOPS_PROBE", "0")):
+        try:  # algorithmic FLOPs: unfused trace in a CPU subprocess (XLA
+            # reports 0 FLOPs for pallas custom calls, so the TPU-compiled
+            # fused program undercounts the real work)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flops-probe"],
+                capture_output=True, text=True, timeout=1500,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            flops_img_alg = json.loads(out.stdout.strip().splitlines()[-1])[
+                "flops_per_img"]
+        except Exception as e:
+            print(f"flops probe unavailable ({type(e).__name__}: {e})",
+                  file=__import__("sys").stderr)
+    peak = _peak_flops()
     if flops_batch > 0:
-        detail["gflops_per_img"] = round(flops_batch / BATCH / 1e9, 1)
-        peak = _peak_flops()
+        # XLA-counted FLOPs of the exact compiled program — an UNDERCOUNT
+        # when pallas kernels are on the path (custom calls report 0)
+        detail["gflops_per_img_xla_counted"] = round(flops_batch / BATCH / 1e9, 1)
+    if flops_img_alg > 0:
+        detail["gflops_per_img"] = round(flops_img_alg / 1e9, 1)
         if peak > 0:
-            detail["mfu"] = round(flops_batch / per_fwd / peak, 4)
+            detail["mfu"] = round(flops_img_alg * BATCH / per_fwd / peak, 4)
             detail["peak_tflops_assumed"] = peak / 1e12
+    elif flops_batch > 0 and peak > 0:
+        detail["gflops_per_img"] = round(flops_batch / BATCH / 1e9, 1)
+        detail["mfu"] = round(flops_batch / per_fwd / peak, 4)
+        detail["peak_tflops_assumed"] = peak / 1e12
 
     if int(os.environ.get("VIPTPU_BENCH_MEMBERS", "0")):
         per_member = {}
@@ -260,4 +335,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--flops-probe" in sys.argv:
+        flops_probe()
+    else:
+        main()
