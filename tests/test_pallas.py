@@ -146,7 +146,9 @@ class TestFusedGCViTBlock:
         )
         m1, v1, _ = create_model("gcvit_xxtiny", fused_block=True, **kw)
         m0, _, _ = create_model("gcvit_xxtiny", fused_block=False, init=False, **kw)
-        x = jnp.asarray(rng.uniform(0, 1, (1, 224, 224, 3)).astype(np.float32))
+        # batch 2: exercises the single-window batch-fold (L3 nwin=1 folds
+        # two images into one block-diagonal attention, local AND global-q)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 224, 224, 3)).astype(np.float32))
         y1 = m1.apply(v1, x)
         y0 = m0.apply(v1, x)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)

@@ -99,9 +99,9 @@ def fused(x, p, heads, n, force=None, group=None):
     )
 
 
-def run_shape(tag, b, hw, c, heads, hidden, iters, skip_equiv):
-    n = 49
-    nwin = (hw // 7) ** 2
+def run_shape(tag, b, hw, c, heads, hidden, iters, skip_equiv, ws=7):
+    n = ws * ws
+    nwin = (hw // ws) ** 2
     toks = nwin * n
     print(f"== {tag}: (B={b}, {hw}x{hw}, C={c}, heads={heads}) "
           f"toks={toks} ==", flush=True)
@@ -129,7 +129,7 @@ def run_shape(tag, b, hw, c, heads, hidden, iters, skip_equiv):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("shape", nargs="?", default="all",
-                    choices=["l1", "l2", "all"])
+                    choices=["l1", "l2", "l3", "l4", "all"])
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--skip-equiv", action="store_true")
@@ -139,6 +139,16 @@ def main():
         run_shape("L1", args.batch, 56, 64, 2, 192, args.iters, args.skip_equiv)
     if args.shape in ("l2", "all"):
         run_shape("L2", args.batch, 28, 128, 4, 384, args.iters, args.skip_equiv)
+    # GCViTTiny window_size=(7,7,14,7), heads=(2,4,8,16): L3 is 19 blocks of
+    # a single 196-token window, L4 is 5 blocks of one 49-token window —
+    # never probed before round 3 (L1 was the named hotspot, but L3 holds
+    # ~half the member FLOPs)
+    if args.shape == "l3":
+        run_shape("L3", args.batch, 14, 256, 8, 1024, args.iters,
+                  args.skip_equiv, ws=14)
+    if args.shape == "l4":
+        run_shape("L4", args.batch, 7, 512, 16, 2048, args.iters,
+                  args.skip_equiv, ws=7)
 
 
 if __name__ == "__main__":

@@ -30,9 +30,26 @@ VARIANTS = {
     "convnext": ("convnext_tiny_in22k", (200, 200), {}, {}),
     "convnext_all": ("convnext_tiny_in22k", (200, 200), {"fused_block": True}, {}),
     "convnext_off": ("convnext_tiny_in22k", (200, 200), {"fused_block": False}, {}),
+    # batch-last at s1/s2 as shipped, but wide stages (s3/s4) on plain XLA
+    # GEMMs instead of the whole-image pallas kernel — re-prices the round-2
+    # f32-era +15% win in the bf16 world
+    "convnext_s34xla": ("convnext_tiny_in22k", (200, 200), {},
+                        {"VIPTPU_CONVNEXT_FUSED_MIN_C": "100000"}),
     "gcvit": ("GCViTTiny", (224, 224), {}, {}),
     "gcvit_bf16": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_MM": "bf16"}),
     "gcvit_off": ("GCViTTiny", (224, 224), {"fused_block": False}, {}),
+    # EfficientNetV1B4: third hotspot (74.3 ms/batch, ~2-5% MFU). The dw
+    # convs go through apply_depthwise_conv, so VIPTPU_DW_BLOCKDIAG=1 flips
+    # them to block-diagonal grouped convs on the MXU (exact math).
+    "effb4": ("EfficientNetV1B4", (224, 224), {}, {}),
+    "effb4_bdiag": ("EfficientNetV1B4", (224, 224), {},
+                    {"VIPTPU_DW_BLOCKDIAG": "1"}),
+    "effv2t": ("EfficientNetV2T", (200, 200), {}, {}),
+    "effv2t_bdiag": ("EfficientNetV2T", (200, 200), {},
+                     {"VIPTPU_DW_BLOCKDIAG": "1"}),
+    "resnest": ("ResNest50", (200, 200), {}, {}),
+    "resnetrs": ("ResNetRS50", (200, 200), {}, {}),
+    "nfnet": ("ECA_NFNetL0", (200, 200), {}, {}),
 }
 
 

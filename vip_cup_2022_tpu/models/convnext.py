@@ -62,6 +62,15 @@ def _use_fused_block(cfg, training: bool) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _fused_min_c() -> int:
+    """Channel threshold for the whole-image fused kernel (wide stages).
+    VIPTPU_CONVNEXT_FUSED_MIN_C overrides for A/B runs — e.g. a huge value
+    keeps the batch-last narrow-stage path but sends wide stages to XLA."""
+    import os
+
+    return int(os.environ.get("VIPTPU_CONVNEXT_FUSED_MIN_C", "256"))
+
+
 class ConvNeXtBlock(nn.Module):
     cfg: ConvNeXtConfig
     embed_dim: int
@@ -99,8 +108,12 @@ class ConvNeXtBlock(nn.Module):
             )
         # fused whole-image kernel pays off at C >= 256 (few positions,
         # wide channels: stages 3-4), where the VPU depthwise taps are cheap
-        # and the single VMEM pass beats XLA ~1.5x.
-        if c >= 256 and _use_fused_block(cfg, training) and not self.is_initializing():
+        # and the single VMEM pass beats XLA ~1.5x. In f32 (VIPTPU_DTYPE
+        # escape hatch) the MLP weights alone blow the 16 MB scoped-VMEM
+        # limit at C=768 (2*768*3072*4 = 18.9 MB) — fall back to XLA there.
+        f32_vmem_ok = jnp.dtype(cfg.dtype or jnp.float32) != jnp.float32 or c < 768
+        if (c >= _fused_min_c() and f32_vmem_ok
+                and _use_fused_block(cfg, training) and not self.is_initializing()):
             # whole-block Pallas kernel; params already exist during apply
             # (init always takes the unfused path below, creating them)
             import jax
@@ -167,25 +180,56 @@ class ConvNeXt(nn.Module):
         dpr = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.nb_blocks))
         pos = 0
         fused = _use_fused_block(cfg, training) and not self.is_initializing()
+        in_batch_last = False
         for j, nb in enumerate(cfg.nb_blocks):
-            if j > 0:
-                x = LayerNorm(epsilon=cfg.norm_eps, name=f"stages_{j}_downsample_norm")(x)
-                x = nn.Conv(
-                    cfg.embed_dim[j], (2, 2), strides=(2, 2), padding="VALID",
-                    dtype=cfg.dtype, name=f"stages_{j}_downsample_conv",
-                )(x)
-            # narrow stages run batch-last (see ConvNeXtBlock); one transpose
-            # pair per stage (~0.3 ms at stage-1 scale, tools/exp_convnext_s12)
+            # narrow stages run batch-last (see ConvNeXtBlock)
             batch_last = fused and cfg.embed_dim[j] < 256
-            if batch_last:
+            if j > 0:
+                if in_batch_last and batch_last:
+                    # both sides of this boundary are batch-last: run the
+                    # LN + 2x2/s2 downsample IN (H, W, C, B) instead of
+                    # transposing out and back (the round trip at 99x99x96
+                    # cost ~20 ms of s2's 29.8 ms stage marginal,
+                    # tools/exp_convnext_stages.py). Params were created by
+                    # the module path during init; numerics mirror
+                    # ops/norms.LayerNorm (f32 stats) and nn.Conv (compute
+                    # in cfg.dtype) exactly.
+                    import jax
+
+                    p = self.variables["params"]
+                    pn = p[f"stages_{j}_downsample_norm"]
+                    pc = p[f"stages_{j}_downsample_conv"]
+                    xf = x.astype(jnp.float32)
+                    mean = jnp.mean(xf, axis=2, keepdims=True)
+                    var = jnp.var(xf, axis=2, keepdims=True)
+                    y = (xf - mean) * jax.lax.rsqrt(var + cfg.norm_eps)
+                    y = y * pn["gamma"][:, None] + pn["beta"][:, None]
+                    y = y.astype(x.dtype)
+                    cd = cfg.dtype or jnp.promote_types(x.dtype, pc["kernel"].dtype)
+                    x = jax.lax.conv_general_dilated(
+                        y.astype(cd), jnp.asarray(pc["kernel"], cd),
+                        (2, 2), "VALID",
+                        dimension_numbers=("HWCN", "HWIO", "HWCN"),
+                    ) + jnp.asarray(pc["bias"], cd)[:, None]
+                else:
+                    if in_batch_last:
+                        x = jnp.transpose(x, (3, 0, 1, 2))
+                        in_batch_last = False
+                    x = LayerNorm(epsilon=cfg.norm_eps, name=f"stages_{j}_downsample_norm")(x)
+                    x = nn.Conv(
+                        cfg.embed_dim[j], (2, 2), strides=(2, 2), padding="VALID",
+                        dtype=cfg.dtype, name=f"stages_{j}_downsample_conv",
+                    )(x)
+            if batch_last and not in_batch_last:
                 x = jnp.transpose(x, (1, 2, 3, 0))
+            in_batch_last = batch_last
             for idx in range(nb):
                 x = ConvNeXtBlock(
                     cfg, cfg.embed_dim[j], float(dpr[pos]), name=f"stages_{j}_blocks_{idx}"
                 )(x, training=training, batch_last=batch_last)
                 pos += 1
-            if batch_last:
-                x = jnp.transpose(x, (3, 0, 1, 2))
+        if in_batch_last:
+            x = jnp.transpose(x, (3, 0, 1, 2))
 
         if features_only:
             return x

@@ -95,7 +95,8 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
     width = d // split
     mm_dtype = _mm_dtype(x2.dtype, c, d, force=force_mm_dtype)
     kern = functools.partial(_ln_dense_kernel, eps=eps, mm_dtype=mm_dtype)
-    t = row_tile
+    t = min(row_tile, max(8, -(-m // 8) * 8))  # small-M: don't allocate a
+    # full 1024-row VMEM tile for a 2-image batch (scoped-vmem OOM at C=512)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     out = pl.pallas_call(
         kern,
@@ -227,7 +228,7 @@ def proj_res_ln_mlp(
     hidden = w1.shape[1]
     mm_dtype = _mm_dtype(x2.dtype, c, hidden, force=force_mm_dtype)
     kern = functools.partial(_tail_kernel, eps=eps, mm_dtype=mm_dtype)
-    t = row_tile
+    t = min(row_tile, max(8, -(-m // 8) * 8))  # small-M clamp (see ln_dense)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     return pl.pallas_call(
         kern,
@@ -260,9 +261,12 @@ def proj_res_ln_mlp(
 # whole block
 # ---------------------------------------------------------------------------
 def _pick_group(nwin: int, n: int, cap: int = 512) -> int:
+    """Largest window-group with G*N rows per program under ``cap`` and
+    8-divisible (Mosaic second-to-last-dim rule; G=1 is always legal as the
+    degenerate full-dim case)."""
     g = 1
     for cand in range(1, nwin + 1):
-        if nwin % cand == 0 and cand * n <= cap:
+        if nwin % cand == 0 and cand * n <= cap and (cand * n) % 8 == 0:
             g = cand
     return g
 
@@ -287,9 +291,29 @@ def fused_window_transformer_block(
     interpret: bool = False,
 ) -> jax.Array:
     b, toks, c = x_win.shape
+    b0, toks0 = b, toks  # pre-fold shape for the final reshape
     nwin = toks // n
     hd = c // heads
     scale = scale if scale is not None else hd ** -0.5
+
+    # Batch folding for single-window levels (GCViT L3/L4: the whole 14x14 /
+    # 7x7 feature map is one window, so the grouped attention degenerates to
+    # G=1 tiny GEMMs). Windows of DIFFERENT images are independent exactly
+    # like windows of one image, so fold F images into the window axis and
+    # let the block-diagonal masked GEMM span them. With nwin==1 the global
+    # query is per-window anyway (one window per image), so global-query
+    # attention is exactly regular attention with q = q_global.
+    fold = 1
+    if group is None and nwin == 1:
+        fold = _pick_group(b, n)
+        if fold > 1:
+            b //= fold
+            toks *= fold
+            nwin = fold
+            x_win = x_win.reshape(b, toks, c)
+            if q_global is not None:
+                q_global = jnp.asarray(q_global, x_win.dtype).reshape(b, toks, c)
+
     g = group or _pick_group(nwin, n)
     ones = jnp.ones((c,), jnp.float32)
     gamma1 = ones if gamma1 is None else gamma1
@@ -308,7 +332,9 @@ def fused_window_transformer_block(
     else:
         k, v = parts
         q = jnp.asarray(q_global, x_win.dtype)
-        q_is_global = True
+        # folded single-window levels: q already has one row per token slot
+        # (image i's global query in slot i), i.e. it IS a regular q
+        q_is_global = fold == 1
     attn = grouped_window_attention(
         q, k, v, heads, n, bias=bias, scale=scale, group=g,
         q_is_global=q_is_global, force_mm_dtype=force_mm_dtype,
@@ -319,4 +345,4 @@ def fused_window_transformer_block(
         w1, b1, w2, b2, gamma2, eps=eps, force_mm_dtype=force_mm_dtype,
         interpret=interpret,
     )
-    return out.reshape(b, toks, c)
+    return out.reshape(b0, toks0, c)
