@@ -49,6 +49,9 @@ VARIANTS = {
                      {"VIPTPU_DW_BLOCKDIAG": "1"}),
     "resnest": ("ResNest50", (200, 200), {}, {}),
     "resnetrs": ("ResNetRS50", (200, 200), {}, {}),
+    # conv-BN folded at the weights level (utils/surgery.fuse_all_conv_bn):
+    # prices whether pre-folding beats XLA's own inference-BN folding
+    "resnetrs_bnfused": ("ResNetRS50", (200, 200), {}, {}),
     "nfnet": ("ECA_NFNetL0", (200, 200), {}, {}),
 }
 
@@ -91,6 +94,12 @@ def main():
                 module, variables, _ = create_model(
                     name, input_size=dim, nb_classes=1,
                     classifier_activation="sigmoid", dtype=dt, **overrides)
+                if tag.endswith("_bnfused"):
+                    from vip_cup_2022_tpu.utils.surgery import fuse_all_conv_bn
+
+                    variables, pairs = fuse_all_conv_bn(variables)
+                    print(f"  ({tag}: folded {len(pairs)} conv->BN pairs)",
+                          flush=True)
             fv = [[jax.device_put(variables, device)]]
             one = engine.build_fused_ensemble([(module, dim)], tta=1)
             t0 = time.time()

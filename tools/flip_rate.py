@@ -67,8 +67,29 @@ def scale_head(variables, scale: float):
 
 
 def run_dtype(members_spec, dtype, imgs, batch, head_scale, seed=0):
+    """One fused-ensemble pass in ``dtype``. The f32 arm runs the UNFUSED
+    XLA path (VIPTPU_NO_FUSED_BLOCK, read at trace time): that is the
+    reference's compute (TF f32 XLA, main.py:109), so the measured flips are
+    production-vs-reference, not merely dtype-vs-dtype on our kernels."""
+    import os
+
     from vip_cup_2022_tpu.infer.engine import EnsembleEngine
 
+    old = os.environ.get("VIPTPU_NO_FUSED_BLOCK")
+    if dtype == jnp.float32:
+        os.environ["VIPTPU_NO_FUSED_BLOCK"] = "1"
+    try:
+        return _run_dtype(members_spec, dtype, imgs, batch, head_scale,
+                          seed, EnsembleEngine)
+    finally:
+        if dtype == jnp.float32:
+            if old is None:
+                os.environ.pop("VIPTPU_NO_FUSED_BLOCK", None)
+            else:
+                os.environ["VIPTPU_NO_FUSED_BLOCK"] = old
+
+
+def _run_dtype(members_spec, dtype, imgs, batch, head_scale, seed, EnsembleEngine):
     engine = EnsembleEngine(compute_dtype=dtype, verbose=0)
     members, all_vars = [], []
     for name, dim in members_spec:
@@ -115,6 +136,12 @@ def main():
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    # liveness marker for tools/tpu_retry.sh: probe the first device op
+    # (where a wedged tunnel hangs) before the long compiles
+    jax.block_until_ready(
+        jax.device_put(jnp.zeros((8,), jnp.float32), jax.devices()[0]))
+    print(f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
 
     spec = ENSEMBLE[: args.members]
     rng = np.random.RandomState(0)

@@ -95,6 +95,8 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
     width = d // split
     mm_dtype = _mm_dtype(x2.dtype, c, d, force=force_mm_dtype)
     kern = functools.partial(_ln_dense_kernel, eps=eps, mm_dtype=mm_dtype)
+    if x2.dtype == jnp.float32:
+        row_tile //= 2  # f32 tiles are 2x the bytes; stay under scoped VMEM
     t = min(row_tile, max(8, -(-m // 8) * 8))  # small-M: don't allocate a
     # full 1024-row VMEM tile for a 2-image batch (scoped-vmem OOM at C=512)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
@@ -228,6 +230,8 @@ def proj_res_ln_mlp(
     hidden = w1.shape[1]
     mm_dtype = _mm_dtype(x2.dtype, c, hidden, force=force_mm_dtype)
     kern = functools.partial(_tail_kernel, eps=eps, mm_dtype=mm_dtype)
+    if x2.dtype == jnp.float32:
+        row_tile //= 2  # f32 tiles are 2x the bytes (see ln_dense)
     t = min(row_tile, max(8, -(-m // 8) * 8))  # small-M clamp (see ln_dense)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     return pl.pallas_call(
@@ -306,6 +310,18 @@ def fused_window_transformer_block(
     fold = 1
     if group is None and nwin == 1:
         fold = _pick_group(b, n)
+        # VMEM guard: the per-program rel-pos-bias block is
+        # (heads, F*N, F*N) f32 and grows quadratically with the fold — at
+        # L4 (heads=16, F=8, N=49) it alone is 9.8 MB and the ensemble
+        # compile overflows scoped VMEM. Keep the attention program's bias +
+        # qkv blocks under ~6 MB or don't fold.
+        while fold > 1 and (heads * (fold * n) ** 2 * 4
+                            + 3 * fold * n * c * 2) > 6 * 2 ** 20:
+            nxt = 1
+            for cand in range(1, fold):
+                if b % cand == 0 and (cand * n) % 8 == 0:
+                    nxt = cand
+            fold = nxt
         if fold > 1:
             b //= fold
             toks *= fold
