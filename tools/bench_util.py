@@ -4,6 +4,10 @@ Axon-tunnel measurement rules (NOTES_r2 + round-3 findings):
 - per-dispatch overhead is large and VARIABLE (26 ms healthy, 400-700 ms
   degraded), so absolute single-call times are useless — time chains of K
   and 4K iterations and report the marginal; fixed costs cancel exactly.
+- the round-trip is LATENCY, not serialized work: device compute overlaps
+  with it, so a chain whose compute is shorter than the latency window
+  measures ~0 marginal (r3: 8192^3 GEMM chains at 8/32 iters both totalled
+  ~400 ms). Size iters so the 4K chain's compute is >= 2-3x the round-trip.
 - XLA's while-loop simplifier can constant-fold trivial bodies (u + 1.0
   chained 100x became u + 100), silently measuring nothing: chain the real
   op under test with its own output, never a synthetic body.
@@ -31,9 +35,12 @@ def time_marginal(name, fn, x, iters=8, reps=3, label_width=12):
         np.asarray(jax.jit(lambda a: a.reshape(-1)[:8])(r))
         compile_s = time.time() - t0
         best = float("inf")
+        # bump must be non-zero in the input dtype: +0.001 rounds to 0 for
+        # integer inputs and the runtime then memoizes the identical dispatch
+        bump = 1 if jnp.issubdtype(x.dtype, jnp.integer) else 0.001
         x2 = x
         for _ in range(reps):
-            x2 = jax.jit(lambda a: a + jnp.asarray(0.001, a.dtype))(x2)
+            x2 = jax.jit(lambda a: a + jnp.asarray(bump, a.dtype))(x2)
             jax.block_until_ready(x2)
             t0 = time.time()
             r = f(x2)

@@ -30,7 +30,7 @@ import numpy as np
 THR = 0.487
 
 
-def gemm_bench(n=8192, iters=8):
+def gemm_bench(n=8192, iters=64):
     from tools.bench_util import device_randn, time_marginal
 
     a16 = device_randn((n, n), jnp.bfloat16)
