@@ -180,3 +180,39 @@ class TestFusedGCViTBlock:
         ref = jnp.einsum("whnm,whmd->whnd", p, vh).transpose(0, 2, 1, 3)
         ref = ref.reshape(b, nwin * n, c)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestPolyGelu:
+    """The 'poly' GELU flavor (clamped odd-polynomial erf, pure FMAs — no
+    exp/reciprocal on the VPU) must stay within its documented 8.6e-5
+    absolute envelope of exact GELU everywhere, including the clamp tails."""
+
+    def test_erf_poly_accuracy(self):
+        import math
+
+        from vip_cup_2022_tpu.ops.pallas.convnext_block import _erf_poly
+
+        x = np.linspace(-10, 10, 100001).astype(np.float32)
+        got = np.asarray(_erf_poly(jnp.asarray(x)))
+        exact = np.array([math.erf(float(v)) for v in x])
+        assert np.max(np.abs(got - exact)) < 4e-5
+
+    def test_gelu_poly_accuracy(self):
+        from vip_cup_2022_tpu.ops.pallas.convnext_block import _gelu
+
+        x = np.linspace(-12, 12, 100001).astype(np.float32)
+        got = np.asarray(_gelu(jnp.asarray(x), "poly"))
+        exact = np.asarray(jax.nn.gelu(jnp.asarray(x), approximate=False))
+        assert np.max(np.abs(got - exact)) < 1e-4
+
+    def test_fused_block_poly_flavor(self):
+        from vip_cup_2022_tpu.ops.pallas.convnext_block import fused_convnext_block
+
+        helper = TestFusedConvNeXtBlock()
+        rng = np.random.RandomState(3)
+        C = 16
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 9, 9, C)).astype(np.float32))
+        args = helper._args(C, rng)
+        out = fused_convnext_block(x, *args, gelu="poly", interpret=True)
+        ref = helper._reference(x, args, C)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from .convnext_block import _erf
+from .convnext_block import _gelu, gelu_flavor
 
 
 def _aligned(*dims: int) -> bool:
@@ -204,7 +204,8 @@ def grouped_window_attention(
 # kernel 3: proj + residual + LN2 + MLP + residual
 # ---------------------------------------------------------------------------
 def _tail_kernel(a_ref, x_ref, wp_ref, bp_ref, g1_ref, lg_ref, lb_ref,
-                 w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, o_ref, *, eps, mm_dtype):
+                 w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, o_ref, *, eps,
+                 mm_dtype, gelu="erf"):
     proj = jnp.dot(a_ref[:].astype(mm_dtype), wp_ref[:],
                    preferred_element_type=jnp.float32) + bp_ref[:]
     r1 = x_ref[:].astype(jnp.float32) + proj * g1_ref[:]
@@ -215,7 +216,7 @@ def _tail_kernel(a_ref, x_ref, wp_ref, bp_ref, g1_ref, lg_ref, lb_ref,
     y = y * lg_ref[:] + lb_ref[:]
     h = jnp.dot(y.astype(mm_dtype), w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:]
-    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    h = _gelu(h, gelu)
     o = jnp.dot(h.astype(mm_dtype), w2_ref[:], preferred_element_type=jnp.float32)
     o = r1 + (o + b2_ref[:]) * g2_ref[:]
     o_ref[:] = o.astype(o_ref.dtype)
@@ -223,13 +224,15 @@ def _tail_kernel(a_ref, x_ref, wp_ref, bp_ref, g1_ref, lg_ref, lb_ref,
 
 def proj_res_ln_mlp(
     attn_out, x2, wp, bp, gamma1, ln_g, ln_b, w1, b1, w2, b2, gamma2,
-    *, eps=1e-5, row_tile=1024, force_mm_dtype=None, interpret=False,
+    *, eps=1e-5, row_tile=1024, force_mm_dtype=None, gelu=None,
+    interpret=False,
 ):
     """x + g1*proj(attn) then +g2*MLP(LN(.)) over flat (M, C) tokens."""
     m, c = x2.shape
     hidden = w1.shape[1]
     mm_dtype = _mm_dtype(x2.dtype, c, hidden, force=force_mm_dtype)
-    kern = functools.partial(_tail_kernel, eps=eps, mm_dtype=mm_dtype)
+    kern = functools.partial(_tail_kernel, eps=eps, mm_dtype=mm_dtype,
+                             gelu=gelu_flavor(gelu))
     if x2.dtype == jnp.float32:
         row_tile //= 2  # f32 tiles are 2x the bytes (see ln_dense)
     t = min(row_tile, max(8, -(-m // 8) * 8))  # small-M clamp (see ln_dense)
