@@ -153,8 +153,11 @@ class TestFusedGCViTBlock:
         y0 = m0.apply(v1, x)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
 
-    def test_grouped_attention_matches_einsum(self):
-        """Block-diagonal grouping == independent per-window attentions."""
+    @pytest.mark.parametrize("mode", ["masked", "batched", "unroll"])
+    def test_grouped_attention_matches_einsum(self, mode):
+        """Block-diagonal grouping == independent per-window attentions, in
+        every score-layout mode (masked big GEMM / f32 batch dots / unrolled
+        per-window dots)."""
         import jax
         import jax.numpy as jnp
 
@@ -169,7 +172,8 @@ class TestFusedGCViTBlock:
         scale = hd ** -0.5
 
         out = grouped_window_attention(
-            q, k, v, heads, n, bias=bias, scale=scale, group=2, interpret=True
+            q, k, v, heads, n, bias=bias, scale=scale, group=2, mode=mode,
+            interpret=True
         )
 
         qh = q.reshape(b * nwin, n, heads, hd).transpose(0, 2, 1, 3)

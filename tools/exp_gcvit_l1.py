@@ -87,7 +87,7 @@ def xla_block(x, p, heads, n):
     return out.astype(x.dtype)
 
 
-def fused(x, p, heads, n, force=None, group=None):
+def fused(x, p, heads, n, force=None, group=None, mode=None):
     return fused_window_transformer_block(
         x, heads=heads, n=n,
         ln1_g=p["ln1_g"], ln1_b=p["ln1_b"], wqkv=p["wqkv"], bqkv=p["bqkv"],
@@ -95,7 +95,7 @@ def fused(x, p, heads, n, force=None, group=None):
         ln2_g=p["ln2_g"], ln2_b=p["ln2_b"],
         w1=p["w1"], b1=p["b1"], w2=p["w2"], b2=p["b2"],
         gamma1=p["g1"], gamma2=p["g2"],
-        group=group, eps=EPS, force_mm_dtype=force,
+        group=group, eps=EPS, force_mm_dtype=force, mode=mode,
     )
 
 
@@ -111,14 +111,16 @@ def run_shape(tag, b, hw, c, heads, hidden, iters, skip_equiv, ws=7):
     variants = {
         "xla": lambda u: xla_block(u, p, heads, n),
         "fused": lambda u: fused(u, p, heads, n),
-        "fused_bf16": lambda u: fused(u, p, heads, n, force=DT),
+        "fused_batched": lambda u: fused(u, p, heads, n, mode="batched"),
+        "fused_unroll": lambda u: fused(u, p, heads, n, mode="unroll"),
         "fused_g16": lambda u: fused(u, p, heads, n, group=16),
-        "fused_bf16_g16": lambda u: fused(u, p, heads, n, force=DT, group=16),
+        "fused_unr_g16": lambda u: fused(u, p, heads, n, group=16,
+                                         mode="unroll"),
     }
     if not skip_equiv:
         xs = x[:2]
         ref = np.asarray(variants["xla"](xs)).astype(np.float32)
-        for name in ("fused", "fused_bf16"):
+        for name in ("fused", "fused_batched", "fused_unroll"):
             got = np.asarray(variants[name](xs)).astype(np.float32)
             print(f"  equiv {name}: max|d| = {np.abs(got - ref).max():.4f}",
                   flush=True)

@@ -37,6 +37,11 @@ VARIANTS = {
                         {"VIPTPU_CONVNEXT_FUSED_MIN_C": "100000"}),
     "gcvit": ("GCViTTiny", (224, 224), {}, {}),
     "gcvit_bf16": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_MM": "bf16"}),
+    # unrolled per-window attention: no GxG masked score matrix (kills the
+    # 8x softmax waste at L1) and linear-VMEM bias -> the L4 batch-fold
+    # becomes legal again
+    "gcvit_unroll": ("GCViTTiny", (224, 224), {},
+                     {"VIPTPU_GCVIT_ATTN": "unroll"}),
     "gcvit_off": ("GCViTTiny", (224, 224), {"fused_block": False}, {}),
     # EfficientNetV1B4: third hotspot (74.3 ms/batch, ~2-5% MFU). The dw
     # convs go through apply_depthwise_conv, so VIPTPU_DW_BLOCKDIAG=1 flips

@@ -126,42 +126,124 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
 # ---------------------------------------------------------------------------
 def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
                  mm_dtype=jnp.float32):
-    qfull = (q_ref[0].astype(jnp.float32) * scale).astype(mm_dtype)
-    kfull = k_ref[0].astype(mm_dtype)                 # (gN, C)
-    vfull = v_ref[0].astype(mm_dtype)
+    # bpp = batch images per program (block dim 0): amortizes grid-step
+    # overhead when the per-image work is tiny (GCViT L1: 2048 programs of
+    # ~20 MFLOP each at bpp=1)
+    for b in range(q_ref.shape[0]):
+        qfull = (q_ref[b].astype(jnp.float32) * scale).astype(mm_dtype)
+        kfull = k_ref[b].astype(mm_dtype)             # (gN, C)
+        vfull = v_ref[b].astype(mm_dtype)
+        c = kfull.shape[1]
+        hd = c // heads
+        outs = []
+        for h in range(heads):
+            q = qfull[:, h * hd : (h + 1) * hd]
+            if q.shape[0] != g * n:                   # global query: tile
+                q = jnp.concatenate([q] * g, axis=0)
+            k = kfull[:, h * hd : (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                         # (gN, gN)
+            s = s + mb_ref[h]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(
+                jnp.dot(p.astype(mm_dtype), vfull[:, h * hd : (h + 1) * hd],
+                        preferred_element_type=jnp.float32)
+            )
+        o_ref[b] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _attn_kernel_perwin(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, g, n,
+                        heads, mm_dtype=jnp.float32, batched=False):
+    """Per-window attention without the G^2 masked score matrix.
+
+    The masked-GEMM kernel above trades G*N-row MXU tiles for computing (and
+    softmax-ing) a (G*N, G*N) score block of which only the N-wide diagonal
+    is real — at L1 (G=8) that is 8x wasted exp/max/sum VPU work, which
+    dominates once the GEMMs are bf16. Here scores are (G, N, N): 'batched'
+    uses one f32 batch-dim dot_general per head (bf16 3-D dots hit the v5e
+    Mosaic reshape-of-unaligned crash; f32 are fine), else G unrolled 2-D
+    dots per head in the compute dtype via lax.slice (arbitrary row offsets
+    on VALUES are legal — only refs need sublane alignment). The rel-pos
+    bias stays (heads, N, N) — no G x G tiling, no -1e9 mask."""
+    qfull = q_ref[0].astype(jnp.float32) * scale      # (gN | N, C)
+    kfull = k_ref[0]                                  # (gN, C)
+    vfull = v_ref[0]
     c = kfull.shape[1]
     hd = c // heads
+    q_global = qfull.shape[0] != g * n
     outs = []
     for h in range(heads):
-        q = qfull[:, h * hd : (h + 1) * hd]
-        if q.shape[0] != g * n:                       # global query: tile
-            q = jnp.concatenate([q] * g, axis=0)
-        k = kfull[:, h * hd : (h + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                             # (gN, gN)
-        s = s + mb_ref[h]
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(
-            jnp.dot(p.astype(mm_dtype), vfull[:, h * hd : (h + 1) * hd],
-                    preferred_element_type=jnp.float32)
-        )
+        qh = qfull[:, h * hd : (h + 1) * hd]
+        kh = kfull[:, h * hd : (h + 1) * hd]
+        vh = vfull[:, h * hd : (h + 1) * hd]
+        bias = b_ref[h]                               # (N, N)
+        if batched:
+            kh3 = kh.astype(jnp.float32).reshape(g, n, hd)
+            if q_global:
+                q3 = jnp.broadcast_to(qh[None], (g, n, hd))
+            else:
+                q3 = qh.reshape(g, n, hd)
+            s = jax.lax.dot_general(
+                q3, kh3, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                         # (g, N, N)
+            s = s + bias[None]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p, vh.astype(jnp.float32).reshape(g, n, hd),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                         # (g, N, hd)
+            outs.append(o.reshape(g * n, hd))
+        else:
+            qh = qh.astype(mm_dtype)
+            wins = []
+            for i in range(g):
+                qi = qh if q_global else jax.lax.slice(
+                    qh, (i * n, 0), ((i + 1) * n, hd))
+                ki = jax.lax.slice(kh, (i * n, 0), ((i + 1) * n, hd))
+                vi = jax.lax.slice(vh, (i * n, 0), ((i + 1) * n, hd))
+                s = jax.lax.dot_general(
+                    qi, ki.astype(mm_dtype), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s = s + bias
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                wins.append(jnp.dot(p.astype(mm_dtype), vi.astype(mm_dtype),
+                                    preferred_element_type=jnp.float32))
+            outs.append(jnp.concatenate(wins, axis=0))
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def attn_mode(mode: Optional[str] = None) -> str:
+    """Resolve the window-attention kernel mode: explicit arg, else the
+    VIPTPU_GCVIT_ATTN env (masked|batched|unroll), else 'masked'."""
+    import os
+
+    return mode or os.environ.get("VIPTPU_GCVIT_ATTN", "masked")
 
 
 def grouped_window_attention(
     q, k, v, heads, n, *, bias, scale, group, q_is_global=False,
-    force_mm_dtype=None, interpret=False,
+    force_mm_dtype=None, mode=None, bpp=1, interpret=False,
 ):
     """Block-diagonal grouped window attention.
 
     q/k/v: (B, nWin*N, C), columns ordered [head][head_dim]; for GCViT's
     global-query blocks ``q`` is the shared (B, N, C) query. ``bias`` is the
-    dense (heads, N, N) rel-pos bias. G windows are stacked per program and
-    masked block-diagonally, so one (G*N, G*N) masked GEMM computes G
-    independent window attentions without materializing scores in HBM.
+    dense (heads, N, N) rel-pos bias. G windows are stacked per program.
+    ``mode`` picks the score layout: 'masked' = one (G*N, G*N) masked GEMM
+    (bias tiled G x G with -1e9 off-diagonal — exactly G independent window
+    attentions, but G x the softmax VPU work); 'batched' = (G, N, N) f32
+    batch-dim dots; 'unroll' = G unrolled (N, N) dots in the compute dtype.
     Returns (B, nWin*N, C).
     """
     b, toks, c = k.shape
@@ -169,32 +251,45 @@ def grouped_window_attention(
     g = group
     assert nwin % g == 0, (nwin, g)
     nwg = nwin // g
+    mode = attn_mode(mode)
+    if b % bpp != 0 or mode != "masked":
+        bpp = 1  # per-window kernels index block dim 0 at [0] only
 
-    # combined bias + block-diagonal mask: position (i, j) belongs to windows
-    # (i//N, j//N); off-diagonal pairs get -1e9 (=> exactly 0 after softmax)
-    eye = np.kron(np.eye(g, dtype=np.float32), np.ones((n, n), np.float32))
-    tiled = jnp.tile(bias.astype(jnp.float32), (1, g, g))
-    mb = tiled * eye + (1.0 - eye) * -1e9             # (heads, gN, gN)
-
-    kern = functools.partial(
-        _attn_kernel, scale=scale, g=g, n=n, heads=heads,
-        mm_dtype=_mm_dtype(k.dtype, force=force_mm_dtype),
-    )
-    if q_is_global:
-        q_spec = pl.BlockSpec((1, n, c), lambda b_, wg: (b_, 0, 0))
+    if mode == "masked":
+        # combined bias + block-diagonal mask: position (i, j) belongs to
+        # windows (i//N, j//N); off-diagonal pairs get -1e9 (=> exactly 0
+        # after softmax)
+        eye = np.kron(np.eye(g, dtype=np.float32), np.ones((n, n), np.float32))
+        tiled = jnp.tile(bias.astype(jnp.float32), (1, g, g))
+        mb = tiled * eye + (1.0 - eye) * -1e9         # (heads, gN, gN)
+        bias_spec = pl.BlockSpec((heads, g * n, g * n), lambda b_, wg: (0, 0, 0))
+        kern = functools.partial(
+            _attn_kernel, scale=scale, g=g, n=n, heads=heads,
+            mm_dtype=_mm_dtype(k.dtype, force=force_mm_dtype),
+        )
     else:
-        q_spec = pl.BlockSpec((1, g * n, c), lambda b_, wg: (b_, wg, 0))
+        mb = jnp.asarray(bias, jnp.float32)           # (heads, N, N), no tile
+        bias_spec = pl.BlockSpec((heads, n, n), lambda b_, wg: (0, 0, 0))
+        kern = functools.partial(
+            _attn_kernel_perwin, scale=scale, g=g, n=n, heads=heads,
+            mm_dtype=_mm_dtype(k.dtype, force=force_mm_dtype),
+            batched=(mode == "batched"),
+        )
+    if q_is_global:
+        q_spec = pl.BlockSpec((bpp, n, c), lambda b_, wg: (b_, 0, 0))
+    else:
+        q_spec = pl.BlockSpec((bpp, g * n, c), lambda b_, wg: (b_, wg, 0))
 
     return pl.pallas_call(
         kern,
-        grid=(b, nwg),
+        grid=(b // bpp, nwg),
         in_specs=[
             q_spec,
-            pl.BlockSpec((1, g * n, c), lambda b_, wg: (b_, wg, 0)),
-            pl.BlockSpec((1, g * n, c), lambda b_, wg: (b_, wg, 0)),
-            pl.BlockSpec((heads, g * n, g * n), lambda b_, wg: (0, 0, 0)),
+            pl.BlockSpec((bpp, g * n, c), lambda b_, wg: (b_, wg, 0)),
+            pl.BlockSpec((bpp, g * n, c), lambda b_, wg: (b_, wg, 0)),
+            bias_spec,
         ],
-        out_specs=pl.BlockSpec((1, g * n, c), lambda b_, wg: (b_, wg, 0)),
+        out_specs=pl.BlockSpec((bpp, g * n, c), lambda b_, wg: (b_, wg, 0)),
         out_shape=jax.ShapeDtypeStruct((b, toks, c), k.dtype),
         interpret=interpret,
     )(q, k, v, mb)
@@ -295,6 +390,7 @@ def fused_window_transformer_block(
     group: Optional[int] = None,
     eps: float = 1e-5,
     force_mm_dtype=None,
+    mode: Optional[str] = None,
     interpret: bool = False,
 ) -> jax.Array:
     b, toks, c = x_win.shape
@@ -302,6 +398,7 @@ def fused_window_transformer_block(
     nwin = toks // n
     hd = c // heads
     scale = scale if scale is not None else hd ** -0.5
+    mode = attn_mode(mode)
 
     # Batch folding for single-window levels (GCViT L3/L4: the whole 14x14 /
     # 7x7 feature map is one window, so the grouped attention degenerates to
@@ -313,13 +410,21 @@ def fused_window_transformer_block(
     fold = 1
     if group is None and nwin == 1:
         fold = _pick_group(b, n)
-        # VMEM guard: the per-program rel-pos-bias block is
+        # VMEM guard. 'masked' mode: the per-program rel-pos-bias block is
         # (heads, F*N, F*N) f32 and grows quadratically with the fold — at
         # L4 (heads=16, F=8, N=49) it alone is 9.8 MB and the ensemble
-        # compile overflows scoped VMEM. Keep the attention program's bias +
-        # qkv blocks under ~6 MB or don't fold.
-        while fold > 1 and (heads * (fold * n) ** 2 * 4
-                            + 3 * fold * n * c * 2) > 6 * 2 ** 20:
+        # compile overflows scoped VMEM. 'batched'/'unroll' modes keep the
+        # bias at (heads, N, N) and scores at (F, N, N) f32 per head, so the
+        # budget is linear in F and the L4 fold becomes legal. Keep the
+        # attention program's bias + scores + qkv blocks under ~6 MB or
+        # don't fold.
+        def _attn_vmem(f):
+            qkv = 3 * f * n * c * 2
+            if mode == "masked":
+                return heads * (f * n) ** 2 * 4 + qkv
+            return heads * n * n * 4 + 2 * f * n * n * 4 + qkv
+
+        while fold > 1 and _attn_vmem(fold) > 6 * 2 ** 20:
             nxt = 1
             for cand in range(1, fold):
                 if b % cand == 0 and (cand * n) % 8 == 0:
@@ -354,10 +459,13 @@ def fused_window_transformer_block(
         # folded single-window levels: q already has one row per token slot
         # (image i's global query in slot i), i.e. it IS a regular q
         q_is_global = fold == 1
+    import os
+
+    bpp = int(os.environ.get("VIPTPU_GCVIT_BPP", "1"))
     attn = grouped_window_attention(
         q, k, v, heads, n, bias=bias, scale=scale, group=g,
         q_is_global=q_is_global, force_mm_dtype=force_mm_dtype,
-        interpret=interpret,
+        mode=mode, bpp=bpp, interpret=interpret,
     )
     out = proj_res_ln_mlp(
         attn.reshape(b * toks, c), x2, wp, bp, gamma1, ln2_g, ln2_b,
