@@ -418,10 +418,10 @@ def main():
     # wide stages: C is 128-aligned so the row-major whole-image kernel is
     # already legal in bf16; these probe whether batch-last wins anyway
     if args.shape == "s3":
-        run_shape("s3", args.batch, 24, 24, 384, 1536, args.iters, which,
+        run_shape("s3", args.batch, 25, 25, 384, 1536, args.iters, which,
                   args.skip_equiv)
     if args.shape == "s4":
-        run_shape("s4", args.batch, 12, 12, 768, 3072, args.iters, which,
+        run_shape("s4", args.batch, 13, 13, 768, 3072, args.iters, which,
                   args.skip_equiv)
 
 

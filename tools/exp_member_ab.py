@@ -58,6 +58,14 @@ VARIANTS = {
     # prices whether pre-folding beats XLA's own inference-BN folding
     "resnetrs_bnfused": ("ResNetRS50", (200, 200), {}, {}),
     "nfnet": ("ECA_NFNetL0", (200, 200), {}, {}),
+    # int8 PTQ (quant/ptq.py): one-batch calibration then eligible
+    # convs/denses on the MXU int8 path — the "_int8" suffix is detected by
+    # the runner, not the engine env (keeps calibration explicit here)
+    "resnetrs_int8": ("ResNetRS50", (200, 200), {}, {}),
+    "resnest_int8": ("ResNest50", (200, 200), {}, {}),
+    "nfnet_int8": ("ECA_NFNetL0", (200, 200), {}, {}),
+    "effv2t_int8": ("EfficientNetV2T", (200, 200), {}, {}),
+    "effb4_int8": ("EfficientNetV1B4", (224, 224), {}, {}),
 }
 
 
@@ -106,7 +114,14 @@ def main():
                     print(f"  ({tag}: folded {len(pairs)} conv->BN pairs)",
                           flush=True)
             fv = [[jax.device_put(variables, device)]]
-            one = engine.build_fused_ensemble([(module, dim)], tta=1)
+            quant_scales = None
+            if tag.endswith("_int8"):
+                calib = np.asarray(jax.device_get(inputs[0]))[:64]
+                scales = engine._calibrate_member(module, fv[0][0], dim, calib)
+                print(f"  ({tag}: {len(scales)} calibrated sites)", flush=True)
+                quant_scales = [scales]
+            one = engine.build_fused_ensemble([(module, dim)], tta=1,
+                                              quant_scales=quant_scales)
             t0 = time.time()
             per_fwd, detail = bench.time_program(lambda x: one(fv, x, key), inputs)
             print(f"  {tag:14s}  {args.batch/per_fwd:9.1f} img/s   "

@@ -66,7 +66,14 @@ def scale_head(variables, scale: float):
     return out
 
 
-def run_dtype(members_spec, dtype, imgs, batch, head_scale, seed=0):
+INT8_MEMBERS = {
+    "ResNest50", "EfficientNetV2T", "EfficientNetV1B4", "ECA_NFNetL0",
+    "ResNetRS50",
+}
+
+
+def run_dtype(members_spec, dtype, imgs, batch, head_scale, seed=0,
+              int8=False):
     """One fused-ensemble pass in ``dtype``. The f32 arm runs the UNFUSED
     XLA path (VIPTPU_NO_FUSED_BLOCK, read at trace time): that is the
     reference's compute (TF f32 XLA, main.py:109), so the measured flips are
@@ -80,7 +87,7 @@ def run_dtype(members_spec, dtype, imgs, batch, head_scale, seed=0):
         os.environ["VIPTPU_NO_FUSED_BLOCK"] = "1"
     try:
         return _run_dtype(members_spec, dtype, imgs, batch, head_scale,
-                          seed, EnsembleEngine)
+                          seed, EnsembleEngine, int8=int8)
     finally:
         if dtype == jnp.float32:
             if old is None:
@@ -89,9 +96,10 @@ def run_dtype(members_spec, dtype, imgs, batch, head_scale, seed=0):
                 os.environ["VIPTPU_NO_FUSED_BLOCK"] = old
 
 
-def _run_dtype(members_spec, dtype, imgs, batch, head_scale, seed, EnsembleEngine):
+def _run_dtype(members_spec, dtype, imgs, batch, head_scale, seed,
+               EnsembleEngine, int8=False):
     engine = EnsembleEngine(compute_dtype=dtype, verbose=0)
-    members, all_vars = [], []
+    members, all_vars, quant_scales = [], [], []
     for name, dim in members_spec:
         module, variables, _ = engine._create_member(
             name, dim, dict(nb_classes=1, classifier_activation="sigmoid")
@@ -101,8 +109,17 @@ def _run_dtype(members_spec, dtype, imgs, batch, head_scale, seed, EnsembleEngin
         # _place commits to the accelerator on TPU and leaves the pytree
         # uncommitted on (possibly multi-device) CPU so the mesh sharding
         # can replicate it
-        all_vars.append([engine._place(variables)])
-    fwd = engine.build_fused_ensemble(members, tta=1)
+        placed = engine._place(variables)
+        all_vars.append([placed])
+        if int8 and name in INT8_MEMBERS:
+            quant_scales.append(
+                engine._calibrate_member(module, placed, dim, imgs[:64])
+            )
+        else:
+            quant_scales.append(None)
+    fwd = engine.build_fused_ensemble(
+        members, tta=1, quant_scales=quant_scales if int8 else None
+    )
     key = jax.random.PRNGKey(seed)
     outs = []
     for start in range(0, len(imgs), batch):
@@ -133,6 +150,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin ignores "
                          "JAX_PLATFORMS=cpu; this uses jax.config in-process)")
+    ap.add_argument("--int8", action="store_true",
+                    help="measure the int8 PTQ arm (quant/ptq.py on the CNN "
+                         "members, bf16 elsewhere) against the f32 reference "
+                         "arm instead of plain bf16")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -153,15 +174,18 @@ def main():
     imgs = np.clip(imgs.astype(np.int16) + noise - 16, 0, 255).astype(np.uint8)
 
     results = {}
+    arm = "int8" if args.int8 else "bf16"
     for s in [float(v) for v in args.head_scales.split(",")]:
         p32 = run_dtype(spec, jnp.float32, imgs, args.batch, s)
-        p16 = run_dtype(spec, jnp.bfloat16, imgs, args.batch, s)
+        p16 = run_dtype(spec, jnp.bfloat16, imgs, args.batch, s,
+                        int8=args.int8)
         d32, d16 = p32 > THR, p16 > THR
         flips = float((d32 != d16).mean())
         results[f"head_scale_{s:g}"] = {
             "n": args.n,
+            "arm": arm,
             "flip_rate": flips,
-            "balanced_acc_bf16_vs_f32": balanced_acc(d32.astype(int), d16.astype(int)),
+            f"balanced_acc_{arm}_vs_f32": balanced_acc(d32.astype(int), d16.astype(int)),
             "mean_abs_dp": float(np.abs(p32 - p16).mean()),
             "max_abs_dp": float(np.abs(p32 - p16).max()),
             "frac_within_0.01_of_thr_f32": float((np.abs(p32 - THR) < 0.01).mean()),

@@ -60,6 +60,56 @@ def gemm_bench(n=8192, iters=64):
         }))
 
 
+def conv_bench(iters=16, batch=256):
+    """int8 vs bf16 CONVOLUTION at member-representative shapes — the GEMM
+    result (2.84x) does not by itself prove XLA lowers s8 convs to the MXU
+    int8 path; this does. Chains are shape-preserving (SAME, C_in=C_out) and
+    re-quantize each iteration like the GEMM chain."""
+    from tools.bench_util import device_randn, time_marginal
+
+    shapes = [
+        ("conv3x3_c256_50", (batch, 50, 50, 256), (3, 3, 256, 256)),
+        ("conv1x1_c512_25", (batch, 25, 25, 512), (1, 1, 512, 512)),
+    ]
+    results = {}
+    for name, xs, ks in shapes:
+        x16 = device_randn(xs, jnp.bfloat16)
+        k16 = device_randn(ks, jnp.bfloat16)
+
+        def bf16_conv(u, k=k16):
+            return jax.lax.conv_general_dilated(
+                u, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.bfloat16)
+
+        t16 = time_marginal(f"{name} bf16", bf16_conv, x16, iters=iters,
+                            label_width=22)
+        q = jax.jit(lambda v: jnp.clip(v * 16.0, -127, 127).astype(jnp.int8))
+        x8, k8 = q(x16), q(k16)
+        jax.block_until_ready((x8, k8))
+
+        def int8_conv(u, k=k8):
+            o = jax.lax.conv_general_dilated(
+                u, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return jnp.clip(o >> 7, -127, 127).astype(jnp.int8)
+
+        t8 = time_marginal(f"{name} int8", int8_conv, x8, iters=iters,
+                           label_width=22)
+        if t16 and t8:
+            n, h, w, ci = xs
+            kh, kw, _, co = ks
+            fl = 2.0 * n * h * w * co * ci * kh * kw
+            results[name] = {
+                "bf16_ms": round(t16, 3), "int8_ms": round(t8, 3),
+                "bf16_tflops": round(fl / (t16 / 1e3) / 1e12, 1),
+                "int8_tops": round(fl / (t8 / 1e3) / 1e12, 1),
+                "speedup": round(t16 / t8, 2),
+            }
+    print(json.dumps(results, indent=1))
+
+
 def quantize_weights_int8(variables):
     """Per-output-channel symmetric int8 fake-quant of every conv/dense
     kernel (quantize -> dequantize: values land exactly on the int8 grid the
@@ -129,13 +179,18 @@ def flips(n_imgs=512, batch=64, head_scale=20.0, cpu=False):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["gemm", "flips"])
+    ap.add_argument("mode", choices=["gemm", "conv", "flips"])
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--iters", type=int, default=512)
     args = ap.parse_args()
     if args.mode == "gemm":
         gemm_bench()
+    elif args.mode == "conv":
+        # per-iter cost is sub-ms: chains must be long enough that totals
+        # clear the (up to ~800 ms) tunnel latency window (NOTES_r3 rule 3)
+        conv_bench(iters=args.iters)
     else:
         flips(n_imgs=args.n, batch=args.batch, cpu=args.cpu)
 

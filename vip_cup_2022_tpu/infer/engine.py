@@ -226,8 +226,41 @@ class EnsembleEngine:
 
         return jax.jit(forward, in_shardings=(None, batch_sharding(self.mesh), None))
 
+    # ------------------------------------------------------------------
+    # int8 quantized inference (quant/ptq.py; VIPTPU_INT8)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _int8_names() -> set:
+        """VIPTPU_INT8: '' (off), '1'/'all' (every member), or a comma list
+        of registry names ('ResNetRS50,ECA_NFNetL0'). Members run the PTQ
+        int8 conv/dense path (quant/ptq.py) after a one-batch calibration.
+        Measure the decision-flip rate (tools/flip_rate.py) before trusting
+        int8 for a new checkpoint family, exactly as with bf16."""
+        env = os.environ.get("VIPTPU_INT8", "").strip()
+        if not env:
+            return set()
+        if env.lower() in ("1", "all", "true"):
+            return {"*"}
+        return {s.strip() for s in env.split(",") if s.strip()}
+
+    def _calibrate_member(self, module, variables, dim, calib_u8):
+        """One-batch jitted calibration pass: returns the per-site activation
+        abs-max table for quant/ptq.quantized. Runs as ONE compiled program
+        (eager per-op dispatch is 26-800 ms/op through the TPU tunnel)."""
+        from ..quant import calibrate
+
+        compute_dtype = self.compute_dtype
+
+        def apply_one(u8):
+            x = u8.astype(jnp.float32) / 255.0
+            if tuple(dim) != NATIVE_SIZE:
+                x = resize(x, dim, method="bicubic")
+            return module.apply(variables, x.astype(compute_dtype))
+
+        return calibrate(apply_one, [calib_u8], use_jit=True)
+
     def build_fused_ensemble(self, members, tta: int = 1, agg: str = "mean",
-                             sharded: bool = True):
+                             sharded: bool = True, quant_scales=None):
         """One jitted program for the WHOLE ensemble (SURVEY.md §7 config 4):
         shared uint8 input -> per-member resize/normalize -> all member
         forwards back-to-back -> agg over TTA copies of the raw class probs,
@@ -240,10 +273,23 @@ class EnsembleEngine:
         ``members``: list of (module, dim) — call with ``all_variables``, a
         list (per member) of lists (per fold) of variables pytrees. Returns
         fn(all_variables, u8, rng) -> (B, 1) ensemble-mean probability.
+
+        ``quant_scales``: optional per-member list; a non-None entry is a
+        calibration table from :meth:`_calibrate_member` and that member's
+        eligible convs/denses run the int8 MXU path (quant/ptq.py).
         """
         compute_dtype = self.compute_dtype
         specs = [(module, tuple(dim)) for module, dim in members]
         agg_fn = _agg_fn(agg)
+        applies = []
+        for i, (module, _dim) in enumerate(specs):
+            scales = quant_scales[i] if quant_scales else None
+            if scales:
+                from ..quant import quantized
+
+                applies.append(quantized(module.apply, scales))
+            else:
+                applies.append(module.apply)
 
         def to_binary(p):
             if p.ndim == 1:
@@ -255,14 +301,16 @@ class EnsembleEngine:
         def forward(all_variables, u8, rng):
             x0 = u8.astype(jnp.float32) / 255.0
             preds = []
-            for (module, dim), fold_vars in zip(specs, all_variables):
+            for (module, dim), apply_fn, fold_vars in zip(
+                specs, applies, all_variables
+            ):
                 x = resize(x0, dim, method="bicubic") if dim != NATIVE_SIZE else x0
                 x = x.astype(compute_dtype)
                 fold_preds = []
                 for variables in fold_vars:
                     if tta > 1:
-                        def one(key, x=x, module=module, variables=variables):
-                            return module.apply(
+                        def one(key, x=x, apply_fn=apply_fn, variables=variables):
+                            return apply_fn(
                                 variables, apply_augment(key, x)
                             ).astype(jnp.float32)
 
@@ -270,7 +318,7 @@ class EnsembleEngine:
                         fold_preds.append(to_binary(agg_fn(outs, axis=0)))
                     else:
                         fold_preds.append(
-                            to_binary(module.apply(variables, x).astype(jnp.float32))
+                            to_binary(apply_fn(variables, x).astype(jnp.float32))
                         )
                 preds.append(agg_fn(jnp.stack(fold_preds), axis=0))
             return jnp.mean(jnp.stack(preds), axis=0)
@@ -381,7 +429,38 @@ class EnsembleEngine:
             members.append((module, tuple(dim)))
             all_variables.append(fold_vars)
 
-        fwd = self.build_fused_ensemble(members, tta=cfg.tta, agg=cfg.agg)
+        # optional int8 members (VIPTPU_INT8): one-batch calibration on the
+        # head of the CSV, then their convs/denses run the MXU int8 path
+        int8_names = self._int8_names()
+        quant_scales = None
+        if int8_names:
+            n_cal = min(int(os.environ.get("VIPTPU_INT8_CALIB", "64")),
+                        len(test_paths))
+            cal_imgs = [
+                _host_resize_uint8(im, NATIVE_SIZE)
+                for im in self._decoder.decode_batch(test_paths[:n_cal])
+            ]
+            calib_u8 = np.stack(cal_imgs) if cal_imgs else np.zeros(
+                (1, *NATIVE_SIZE, 3), np.uint8
+            )
+            quant_scales = []
+            for (module, dim), fold_vars, (base_dir, *_rest) in zip(
+                members, all_variables, cfg.ckpt_cfg
+            ):
+                name = registry_name(base_dir)
+                if "*" in int8_names or name in int8_names:
+                    scales = self._calibrate_member(
+                        module, fold_vars[0], dim, calib_u8
+                    )
+                    if self.verbose:
+                        print(f"> INT8 {name}: {len(scales)} calibrated sites")
+                    quant_scales.append(scales)
+                else:
+                    quant_scales.append(None)
+
+        fwd = self.build_fused_ensemble(
+            members, tta=cfg.tta, agg=cfg.agg, quant_scales=quant_scales
+        )
         # default batch 256: tuned on v5e (B=512 measured worse, see bench.py)
         batch_size = pad_to_multiple(
             int(os.environ.get("VIPTPU_MAX_BATCH", "0")) or 256, num_replicas(self.mesh)
