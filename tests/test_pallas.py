@@ -72,6 +72,42 @@ class TestFusedConvNeXtBlock:
         ref = self._reference(x, args, C)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
+    @pytest.mark.parametrize("group,n_split", [(2, 1), (4, 2), (2, 4)])
+    def test_batch_fold_and_hidden_split(self, group, n_split):
+        """g-image fold + fc1 N-chunking == the unfolded reference block
+        (same math: the fold only concatenates rows into the GEMM; the split
+        only chunks fc2's f32 accumulation)."""
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.convnext_block import fused_convnext_block
+
+        rng = np.random.RandomState(7)
+        C = 128  # hp_ = 512 -> n_split up to 4 legal
+        x = jnp.asarray(rng.uniform(-1, 1, (4, 6, 7, C)).astype(np.float32))
+        args = self._args(C, rng)
+        out = fused_convnext_block(x, *args, group=group, n_split=n_split,
+                                   interpret=True)
+        ref = self._reference(x, args, C)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6)
+
+    def test_int8_mm_close_to_f32(self):
+        """int8 MLP dots (dynamic activation scale + per-channel weights)
+        track the f32 kernel within PTQ tolerance."""
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.convnext_block import fused_convnext_block
+
+        rng = np.random.RandomState(8)
+        C = 128
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 6, 7, C)).astype(np.float32))
+        args = self._args(C, rng)
+        out = fused_convnext_block(x, *args, int8_mm=True, n_split=2,
+                                   interpret=True)
+        ref = self._reference(x, args, C)
+        err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+        scale = np.abs(np.asarray(ref)).max()
+        assert err < 0.02 * scale, (err, scale)
+
     def test_blockdiag_dw_matches_depthwise(self):
         import jax
         import jax.numpy as jnp

@@ -66,6 +66,11 @@ VARIANTS = {
     "nfnet_int8": ("ECA_NFNetL0", (200, 200), {}, {}),
     "effv2t_int8": ("EfficientNetV2T", (200, 200), {}, {}),
     "effb4_int8": ("EfficientNetV1B4", (224, 224), {}, {}),
+    # int8 dots INSIDE the fused pallas kernels (dynamic activation scales,
+    # ops/pallas/convnext_block.int8_kernels_enabled) — distinct from the
+    # "_int8" PTQ-interceptor variants above, which only reach nn.Conv/Dense
+    "convnext_int8k": ("convnext_tiny_in22k", (200, 200), {},
+                       {"VIPTPU_INT8_KERNELS": "1"}),
 }
 
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +106,37 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def int8_kernels_enabled() -> bool:
+    """VIPTPU_INT8_KERNELS=1 runs the fused ConvNeXt kernels' MLP GEMMs on
+    the MXU int8 path (s8 x s8 -> s32, ~2.8x the bf16 dot rate — measured
+    tools/int8_spike.py / int8_pallas_spike.py). Weights are quantized
+    per-output-channel outside the kernel; activations are quantized
+    per-grid-step with a DYNAMIC abs-max scale computed on the VPU (strictly
+    tighter than calibrated per-tensor scales — no calibration pass needed).
+    Gate the default on the measured decision-flip rate (tools/flip_rate.py),
+    exactly as for bf16."""
+    return os.environ.get("VIPTPU_INT8_KERNELS", "0") == "1"
+
+
+def _quant_cols(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8 weights for a (K, N) operand:
+    returns (q (K,N) int8, scale (N,) f32). All-zero (lane-pad) columns get
+    scale 1 so the dequant stays exactly 0."""
+    wf = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _dyn_quant(y: jax.Array):
+    """Dynamic per-block symmetric int8 of an f32 tile: (q, scale)."""
+    amax = jnp.max(jnp.abs(y))
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(y * (1.0 / s)), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _pick_row_tile(h: int, w: int, c: int, hidden: int) -> int:
     """Largest row tile whose f32 temporaries fit a ~4 MB scratch budget
     (the full image block + weights occupy VMEM separately)."""
@@ -122,21 +153,70 @@ def _pick_row_tile(h: int, w: int, c: int, hidden: int) -> int:
     return best
 
 
+def _pick_fold(bsz: int, h: int, w: int, cp: int, hp_: int,
+               img_bytes: int, itemsize: int, w_itemsize: Optional[int] = None):
+    """Choose (g, th, n_split) for the whole-image kernel: fold g images into
+    each grid step so the MLP GEMM's M = g*th*w is large enough to utilize
+    the 128x128 MXU (one image's row tile at stage 3/4 is only a few hundred
+    rows — profiled 77 TF/s at s3), under a ~13 MB VMEM model:
+
+      2 x g x image (Mosaic double-buffers the next fold's images)
+      + fc1/fc2 weights + f32 dw/LN accumulator + y + (M, hp_/n_split) f32
+      hidden chunk + 2 x output block.
+
+    n_split chunks fc1's N dimension (each chunk GELU'd and contracted with
+    its w2 row-block immediately) purely to bound the hidden scratch — same
+    math, same total FLOPs. Returns the (g, th, n_split) with the largest M,
+    tie-broken toward fewer splits; (1, th, 1) when folding doesn't help or
+    bsz isn't divisible."""
+    limit = 13 * 1024 * 1024
+    w_bytes = (cp * hp_ + hp_ * cp) * (w_itemsize or itemsize) \
+        + (hp_ + 3 * cp) * 4
+    best = (1, _pick_row_tile(h, w, cp, hp_), 1)
+    best_m = best[1] * w
+    for g in (8, 4, 2):
+        if bsz % g:
+            continue
+        for ns in (1, 2, 4):  # fewest splits first: ties keep ns small
+            if hp_ % (ns * 128):
+                continue
+            for t in range(h, 0, -1):  # largest exact-divisor tile
+                if h % t:
+                    continue
+                m = g * t * w
+                if m <= best_m:
+                    break
+                fixed = 2 * g * img_bytes + w_bytes
+                scratch = (g * t * w * cp * 4          # f32 dw/LN acc
+                           + m * cp * itemsize          # y
+                           + m * (hp_ // ns) * 4        # f32 hidden chunk
+                           + 2 * m * cp * itemsize)     # double-buffered out
+                if fixed + scratch <= limit:
+                    best, best_m = (g, t, ns), m
+                    break
+    return best
+
+
 def _kernel(x_ref, wdw_ref, dwb_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
-            w2_ref, b2_ref, ls_ref, out_ref, *, th: int, w: int, cp: int,
-            c_real: int, eps: float, gelu: str = "erf"):
+            w2_ref, b2_ref, ls_ref, *rest, th: int, w: int, cp: int,
+            c_real: int, eps: float, gelu: str = "erf", g: int = 1,
+            n_split: int = 1, int8_mm: bool = False):
+    if int8_mm:
+        s1_ref, s2_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     r = pl.program_id(1)
     r0 = r * th
 
     # depthwise 7x7: 49 shifted multiply-adds on the VPU, f32 accumulate.
-    # x_ref holds the full padded image; rows [r0+dy, r0+dy+th) are the
-    # halo'd slice for output rows [r0, r0+th).
-    acc = jnp.zeros((th, w, cp), jnp.float32)
+    # x_ref holds g full padded images; rows [r0+dy, r0+dy+th) are the
+    # halo'd slice for output rows [r0, r0+th) of every image in the fold.
+    acc = jnp.zeros((g, th, w, cp), jnp.float32)
     for dy in range(7):
-        rows = x_ref[0, pl.ds(r0 + dy, th)]  # (th, w+6, cp)
+        rows = x_ref[:, pl.ds(r0 + dy, th)]  # (g, th, w+6, cp)
         rows = rows.astype(jnp.float32)
         for dx in range(7):
-            acc = acc + rows[:, dx : dx + w, :] * wdw_ref[dy, dx, :]
+            acc = acc + rows[:, :, dx : dx + w, :] * wdw_ref[dy, dx, :]
     acc = acc + dwb_ref[:]
 
     # LayerNorm over the REAL channels (padded lanes are exactly 0, so the
@@ -147,19 +227,47 @@ def _kernel(x_ref, wdw_ref, dwb_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
     y = (acc - mean) * jax.lax.rsqrt(var + eps)
     y = y * lng_ref[:] + lnb_ref[:]  # padded gamma/beta are 0 -> y_pad = 0
 
-    # pointwise MLP on the MXU
-    y2 = y.astype(out_ref.dtype).reshape(th * w, cp)
-    h = jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32)
-    h = h + b1_ref[:]
-    h = _gelu(h, gelu)
-    o = jnp.dot(h.astype(out_ref.dtype), w2_ref[:],
-                preferred_element_type=jnp.float32)
+    # pointwise MLP on the MXU. The g-fold concatenates every image's rows
+    # into ONE (g*th*w, cp) GEMM: at stage-3/4 extents a single image's tile
+    # is only a few hundred rows, which underutilizes the 128x128 systolic
+    # array (profiled 77 TF/s at s3); the fold multiplies M. The hidden
+    # activation is produced in n_split N-chunks of fc1 (each GELU'd and
+    # immediately contracted with the matching w2 row-block) so the f32
+    # hidden scratch is (M, hidden/n_split) — same math, same FLOPs, chunked
+    # f32 accumulation of fc2.
+    hp_ = w1_ref.shape[1]
+    chunk = hp_ // n_split
+    o = jnp.zeros((g * th * w, cp), jnp.float32)
+    if int8_mm:
+        # dynamic per-tile activation scale (abs-max on the VPU — tighter
+        # than any calibrated per-tensor scale), per-output-channel weight
+        # scales from the host-side quantization; s8xs8->s32 on the MXU
+        qy, sy = _dyn_quant(y.reshape(g * th * w, cp))
+        for k in range(n_split):
+            acc = jnp.dot(qy, w1_ref[:, k * chunk : (k + 1) * chunk],
+                          preferred_element_type=jnp.int32)
+            h = acc.astype(jnp.float32) * (sy * s1_ref[pl.ds(k * chunk, chunk)])
+            h = _gelu(h + b1_ref[pl.ds(k * chunk, chunk)], gelu)
+            qh, sh = _dyn_quant(h)
+            acc2 = jnp.dot(qh, w2_ref[pl.ds(k * chunk, chunk), :],
+                           preferred_element_type=jnp.int32)
+            o = o + acc2.astype(jnp.float32) * (sh * s2_ref[:])
+    else:
+        y2 = y.astype(out_ref.dtype).reshape(g * th * w, cp)
+        for k in range(n_split):
+            h = jnp.dot(y2, w1_ref[:, k * chunk : (k + 1) * chunk],
+                        preferred_element_type=jnp.float32)
+            h = h + b1_ref[pl.ds(k * chunk, chunk)]
+            h = _gelu(h, gelu)
+            o = o + jnp.dot(h.astype(out_ref.dtype),
+                            w2_ref[pl.ds(k * chunk, chunk), :],
+                            preferred_element_type=jnp.float32)
     o = o + b2_ref[:]
 
     # layer-scale + residual from the image centre
-    res = x_ref[0, pl.ds(r0 + 3, th), 3 : 3 + w, :].astype(jnp.float32)
-    o = o.reshape(th, w, cp) * ls_ref[:] + res
-    out_ref[:] = o.astype(out_ref.dtype)[None]
+    res = x_ref[:, pl.ds(r0 + 3, th), 3 : 3 + w, :].astype(jnp.float32)
+    o = o.reshape(g, th, w, cp) * ls_ref[:] + res
+    out_ref[:] = o.astype(out_ref.dtype)
 
 
 def _lnmlp_kernel(x_ref, r_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
@@ -390,6 +498,9 @@ def fused_convnext_block(
     eps: float = 1e-6,
     row_tile: Optional[int] = None,
     gelu: Optional[str] = None,
+    group: Optional[int] = None,
+    n_split: Optional[int] = None,
+    int8_mm: Optional[bool] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused whole ConvNeXt block; x is (B, H, W, C), returns same.
@@ -402,16 +513,37 @@ def fused_convnext_block(
     gates it to C >= 256 (models/convnext.py). Hybrid XLA-conv + pallas-MLP
     splits lose badly to layout relayouts at every boundary (83 ms/block
     measured), which is why the dispatch is all-or-nothing per block.
+
+    ``group`` folds that many images into each grid step so the MLP GEMM
+    sees M = group*th*W rows (one s3 image tile alone is a few hundred rows
+    — profiled 77 TF/s on the MXU); ``n_split`` chunks fc1's N dimension to
+    bound the f32 hidden scratch (identical math). Both default to
+    :func:`_pick_fold`'s VMEM-model choice; VIPTPU_CONVNEXT_GROUP overrides
+    the fold for experiments.
     """
     bsz, h, w, c = x.shape
     hidden = w1.shape[1]
     cp = _round_up(c, 128)
     hp_ = _round_up(hidden, 128)
-    th = row_tile or _pick_row_tile(h, w, cp, hp_)
+    # pre-pad: 3 halo rows/cols each side, channels to the 128-lane multiple
+    # (XLA fuses the pad into the producer); fold geometry needs the final
+    # padded image size, so compute it before picking (g, th, n_split)
+    if int8_mm is None:
+        int8_mm = int8_kernels_enabled()
+    img_bytes = (h + 6) * (w + 6) * cp * jnp.dtype(x.dtype).itemsize
+    g, th_auto, ns_auto = _pick_fold(bsz, h, w, cp, hp_, img_bytes,
+                                     jnp.dtype(x.dtype).itemsize,
+                                     w_itemsize=1 if int8_mm else None)
+    env_g = int(os.environ.get("VIPTPU_CONVNEXT_GROUP", "0"))
+    if env_g:
+        g = env_g if bsz % env_g == 0 else 1
+    if group:
+        g = group if bsz % group == 0 else 1
+    n_split = n_split or ns_auto
+    if hp_ % (n_split * 128):
+        n_split = 1
+    th = row_tile or th_auto
     n_tiles = pl.cdiv(h, th)
-    # pre-pad: 3 halo rows/cols each side, bottom rows so a ragged last
-    # tile's reads stay in bounds, channels to the 128-lane multiple
-    # (XLA fuses the pad into the producer)
     pad_rows = n_tiles * th - h
     xp = jnp.pad(x, ((0, 0), (3, 3 + pad_rows), (3, 3), (0, cp - c)))
     hrows, wcols = xp.shape[1], xp.shape[2]
@@ -422,15 +554,29 @@ def fused_convnext_block(
 
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     kern = functools.partial(_kernel, th=th, w=w, cp=cp, c_real=c, eps=eps,
-                             gelu=gelu_flavor(gelu))
+                             gelu=gelu_flavor(gelu), g=g, n_split=n_split,
+                             int8_mm=int8_mm)
+
+    if int8_mm:
+        # per-output-channel int8 weights (host-side; XLA runs this once per
+        # dispatch and fuses it into the operand feed)
+        w1_op, s1 = _quant_cols(padded(f32(w1), (cp, hp_)))
+        w2_op, s2 = _quant_cols(padded(f32(w2), (hp_, cp)))
+        extra_ops = [s1, s2]
+        extra_specs = [pl.BlockSpec((hp_,), lambda b, r: (0,)),
+                       pl.BlockSpec((cp,), lambda b, r: (0,))]
+    else:
+        w1_op = padded(jnp.asarray(w1, x.dtype), (cp, hp_))
+        w2_op = padded(jnp.asarray(w2, x.dtype), (hp_, cp))
+        extra_ops, extra_specs = [], []
 
     out = pl.pallas_call(
         kern,
-        grid=(bsz, n_tiles),
+        grid=(bsz // g, n_tiles),
         in_specs=[
-            # full padded image, revisited across this image's row-tiles —
-            # pallas fetches it into VMEM once per batch index
-            pl.BlockSpec((1, hrows, wcols, cp), lambda b, r: (b, 0, 0, 0)),
+            # g full padded images, revisited across the fold's row-tiles —
+            # pallas fetches them into VMEM once per fold index
+            pl.BlockSpec((g, hrows, wcols, cp), lambda b, r: (b, 0, 0, 0)),
             pl.BlockSpec((7, 7, cp), lambda b, r: (0, 0, 0)),
             pl.BlockSpec((cp,), lambda b, r: (0,)),
             pl.BlockSpec((cp,), lambda b, r: (0,)),
@@ -440,8 +586,9 @@ def fused_convnext_block(
             pl.BlockSpec((hp_, cp), lambda b, r: (0, 0)),
             pl.BlockSpec((cp,), lambda b, r: (0,)),
             pl.BlockSpec((cp,), lambda b, r: (0,)),
+            *extra_specs,
         ],
-        out_specs=pl.BlockSpec((1, th, w, cp), lambda b, r: (b, r, 0, 0)),
+        out_specs=pl.BlockSpec((g, th, w, cp), lambda b, r: (b, r, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, cp), x.dtype),
         interpret=interpret,
     )(
@@ -450,10 +597,11 @@ def fused_convnext_block(
         padded(f32(dw_bias), (cp,)),
         padded(f32(ln_gamma), (cp,)),
         padded(f32(ln_beta), (cp,)),
-        padded(jnp.asarray(w1, x.dtype), (cp, hp_)),
+        w1_op,
         padded(f32(b1), (hp_,)),
-        padded(jnp.asarray(w2, x.dtype), (hp_, cp)),
+        w2_op,
         padded(f32(b2), (cp,)),
         padded(f32(ls_gamma), (cp,)),
+        *extra_ops,
     )
     return out[..., :c] if cp != c else out
