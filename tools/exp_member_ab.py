@@ -30,6 +30,10 @@ VARIANTS = {
     "convnext": ("convnext_tiny_in22k", (200, 200), {}, {}),
     "convnext_all": ("convnext_tiny_in22k", (200, 200), {"fused_block": True}, {}),
     "convnext_off": ("convnext_tiny_in22k", (200, 200), {"fused_block": False}, {}),
+    # batch-lane kernel WITHOUT the lane-fold (per-position (hidden,C)@(C,B)
+    # dots, the round-3-early shape) — prices the tp-wide GEMM concat
+    "convnext_nofold": ("convnext_tiny_in22k", (200, 200), {},
+                        {"VIPTPU_BATCHLANE_FOLD": "0"}),
     # batch-last at s1/s2 as shipped, but wide stages (s3/s4) on plain XLA
     # GEMMs instead of the whole-image pallas kernel — re-prices the round-2
     # f32-era +15% win in the bf16 world
@@ -42,6 +46,11 @@ VARIANTS = {
     # becomes legal again
     "gcvit_unroll": ("GCViTTiny", (224, 224), {},
                      {"VIPTPU_GCVIT_ATTN": "unroll"}),
+    # (G, N, N) f32 batch-dim score dots at EVERY level (the folded
+    # single-window levels default to batched since round 3; this also
+    # flips L1/L2's masked GEMM to per-window scores)
+    "gcvit_batched": ("GCViTTiny", (224, 224), {},
+                      {"VIPTPU_GCVIT_ATTN": "batched"}),
     "gcvit_off": ("GCViTTiny", (224, 224), {"fused_block": False}, {}),
     # EfficientNetV1B4: third hotspot (74.3 ms/batch, ~2-5% MFU). The dw
     # convs go through apply_depthwise_conv, so VIPTPU_DW_BLOCKDIAG=1 flips

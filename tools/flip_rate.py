@@ -66,10 +66,10 @@ def scale_head(variables, scale: float):
     return out
 
 
-INT8_MEMBERS = {
-    "ResNest50", "EfficientNetV2T", "EfficientNetV1B4", "ECA_NFNetL0",
-    "ResNetRS50",
-}
+# the members where PTQ int8 measured a real throughput win (NOTES_r3 table:
+# ResNetRS50 +17%, ResNest50 +6%; the EfficientNets and NFNet lose) — i.e.
+# the production int8 candidate set
+INT8_MEMBERS = {"ResNetRS50", "ResNest50"}
 
 
 def run_dtype(members_spec, dtype, imgs, batch, head_scale, seed=0,

@@ -398,29 +398,34 @@ def fused_window_transformer_block(
     nwin = toks // n
     hd = c // heads
     scale = scale if scale is not None else hd ** -0.5
-    mode = attn_mode(mode)
+    import os
+
+    raw_mode = mode or os.environ.get("VIPTPU_GCVIT_ATTN") or None
 
     # Batch folding for single-window levels (GCViT L3/L4: the whole 14x14 /
     # 7x7 feature map is one window, so the grouped attention degenerates to
     # G=1 tiny GEMMs). Windows of DIFFERENT images are independent exactly
-    # like windows of one image, so fold F images into the window axis and
-    # let the block-diagonal masked GEMM span them. With nwin==1 the global
-    # query is per-window anyway (one window per image), so global-query
-    # attention is exactly regular attention with q = q_global.
+    # like windows of one image, so fold F images into the window axis. With
+    # nwin==1 the global query is per-window anyway (one window per image),
+    # so global-query attention is exactly regular attention with
+    # q = q_global. 'masked' pays an F^2 score/bias block ((heads, F*N, F*N)
+    # f32 — 9.8 MB at L4 fold=8, which overflows the ensemble compile's
+    # scoped VMEM and caps L3 at fold=2), while 'batched' keeps bias at
+    # (heads, N, N) and scores at (F, N, N) per head, LINEAR in F, so L3
+    # folds 4x and L4 16x with zero off-diagonal softmax waste. Measured
+    # (exp_member_ab, r3): the deeper batched folds LOSE at member level —
+    # 2,745 img/s (batched L3x4/L4x16) / 2,020 (batched everywhere) vs
+    # 3,067 masked — the (F, N, N) batch-dim dots underutilize the MXU more
+    # than the masked GEMM's F^2 softmax waste costs. 'masked' stays the
+    # default; VIPTPU_GCVIT_ATTN=batched|unroll remain available.
     fold = 1
     if group is None and nwin == 1:
-        fold = _pick_group(b, n)
-        # VMEM guard. 'masked' mode: the per-program rel-pos-bias block is
-        # (heads, F*N, F*N) f32 and grows quadratically with the fold — at
-        # L4 (heads=16, F=8, N=49) it alone is 9.8 MB and the ensemble
-        # compile overflows scoped VMEM. 'batched'/'unroll' modes keep the
-        # bias at (heads, N, N) and scores at (F, N, N) f32 per head, so the
-        # budget is linear in F and the L4 fold becomes legal. Keep the
-        # attention program's bias + scores + qkv blocks under ~6 MB or
-        # don't fold.
+        fold_mode = raw_mode or "masked"
+        fold = _pick_group(b, n, cap=512 if fold_mode == "masked" else 1024)
+
         def _attn_vmem(f):
             qkv = 3 * f * n * c * 2
-            if mode == "masked":
+            if fold_mode == "masked":
                 return heads * (f * n) ** 2 * 4 + qkv
             return heads * n * n * 4 + 2 * f * n * n * 4 + qkv
 
@@ -437,6 +442,9 @@ def fused_window_transformer_block(
             x_win = x_win.reshape(b, toks, c)
             if q_global is not None:
                 q_global = jnp.asarray(q_global, x_win.dtype).reshape(b, toks, c)
+        mode = fold_mode if fold > 1 else attn_mode(raw_mode)
+    else:
+        mode = attn_mode(raw_mode)
 
     g = group or _pick_group(nwin, n)
     ones = jnp.ones((c,), jnp.float32)
@@ -459,8 +467,6 @@ def fused_window_transformer_block(
         # folded single-window levels: q already has one row per token slot
         # (image i's global query in slot i), i.e. it IS a regular q
         q_is_global = fold == 1
-    import os
-
     bpp = int(os.environ.get("VIPTPU_GCVIT_BPP", "1"))
     attn = grouped_window_attention(
         q, k, v, heads, n, bias=bias, scale=scale, group=g,
