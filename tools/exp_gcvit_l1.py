@@ -87,7 +87,9 @@ def xla_block(x, p, heads, n):
     return out.astype(x.dtype)
 
 
-def fused(x, p, heads, n, force=None, group=None, mode=None):
+def fused(x, p, heads, n, force=None, group=None, mode=None, softmax=None):
+    if softmax is not None:
+        os.environ["VIPTPU_GCVIT_SOFTMAX"] = softmax  # read at trace time
     return fused_window_transformer_block(
         x, heads=heads, n=n,
         ln1_g=p["ln1_g"], ln1_b=p["ln1_b"], wqkv=p["wqkv"], bqkv=p["bqkv"],
@@ -110,17 +112,18 @@ def run_shape(tag, b, hw, c, heads, hidden, iters, skip_equiv, ws=7):
     x = device_randn((b, toks, c), DT)
     variants = {
         "xla": lambda u: xla_block(u, p, heads, n),
-        "fused": lambda u: fused(u, p, heads, n),
-        "fused_batched": lambda u: fused(u, p, heads, n, mode="batched"),
-        "fused_unroll": lambda u: fused(u, p, heads, n, mode="unroll"),
-        "fused_g16": lambda u: fused(u, p, heads, n, group=16),
-        "fused_unr_g16": lambda u: fused(u, p, heads, n, group=16,
-                                         mode="unroll"),
+        # round-3b softmax A/B: 'mxu' rides the row-sum on the p@[V|1] GEMM
+        # (now the default), 'div' is the classic full-lane p/sum(p)
+        "fused": lambda u: fused(u, p, heads, n, softmax="mxu"),
+        "fused_sm_div": lambda u: fused(u, p, heads, n, softmax="div"),
+        # NB group must keep g*N sublane-aligned (g*49 % 8 == 0 => g in
+        # {8, 16, ...}); g=4 fails Mosaic's block-shape rule
+        "fused_g16": lambda u: fused(u, p, heads, n, group=16, softmax="mxu"),
     }
     if not skip_equiv:
         xs = x[:2]
         ref = np.asarray(variants["xla"](xs)).astype(np.float32)
-        for name in ("fused", "fused_batched", "fused_unroll"):
+        for name in ("fused", "fused_sm_div"):
             got = np.asarray(variants[name](xs)).astype(np.float32)
             print(f"  equiv {name}: max|d| = {np.abs(got - ref).max():.4f}",
                   flush=True)

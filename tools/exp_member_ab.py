@@ -40,6 +40,10 @@ VARIANTS = {
     "convnext_s34xla": ("convnext_tiny_in22k", (200, 200), {},
                         {"VIPTPU_CONVNEXT_FUSED_MIN_C": "100000"}),
     "gcvit": ("GCViTTiny", (224, 224), {}, {}),
+    # classic p/sum(p) softmax (the pre-round-3b shape) — control for the
+    # MXU-sum ones-column softmax that is now the default
+    "gcvit_sm_div": ("GCViTTiny", (224, 224), {},
+                     {"VIPTPU_GCVIT_SOFTMAX": "div"}),
     "gcvit_bf16": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_MM": "bf16"}),
     # unrolled per-window attention: no GxG masked score matrix (kills the
     # 8x softmax waste at L1) and linear-VMEM bias -> the L4 batch-fold

@@ -124,11 +124,23 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
 # ---------------------------------------------------------------------------
 # kernel 2: block-diagonal grouped window attention
 # ---------------------------------------------------------------------------
+def softmax_mode() -> str:
+    """How the masked kernel normalizes softmax: 'mxu' (default) appends a
+    ones-column to V so the row-sum rides the p @ [V|1] GEMM and the divide
+    shrinks to the (gN, hd) output — the full-lane sum+divide passes over the
+    (gN, gN) masked tile were pure VPU cost; 'div' restores the classic
+    in-place p/sum(p)."""
+    import os
+
+    return os.environ.get("VIPTPU_GCVIT_SOFTMAX", "mxu")
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
                  mm_dtype=jnp.float32):
     # bpp = batch images per program (block dim 0): amortizes grid-step
     # overhead when the per-image work is tiny (GCViT L1: 2048 programs of
     # ~20 MFLOP each at bpp=1)
+    mxu_sum = softmax_mode() == "mxu"
     for b in range(q_ref.shape[0]):
         qfull = (q_ref[b].astype(jnp.float32) * scale).astype(mm_dtype)
         kfull = k_ref[b].astype(mm_dtype)             # (gN, C)
@@ -148,11 +160,22 @@ def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
             s = s + mb_ref[h]
             s = s - jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            outs.append(
-                jnp.dot(p.astype(mm_dtype), vfull[:, h * hd : (h + 1) * hd],
-                        preferred_element_type=jnp.float32)
-            )
+            vh = vfull[:, h * hd : (h + 1) * hd]
+            if mxu_sum:
+                # row-sum on the MXU: p @ [V | 1] yields (gN, hd+1) whose
+                # last column is sum(p); normalize the small output instead
+                # of the (gN, gN) tile (saves two full-lane VPU passes)
+                v_ext = jnp.concatenate(
+                    [vh, jnp.ones((vh.shape[0], 1), vh.dtype)], axis=1)
+                o_ext = jnp.dot(p.astype(mm_dtype), v_ext,
+                                preferred_element_type=jnp.float32)
+                num = jax.lax.slice(o_ext, (0, 0), (o_ext.shape[0], hd))
+                den = jax.lax.slice(o_ext, (0, hd), (o_ext.shape[0], hd + 1))
+                outs.append(num / den)
+            else:
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                outs.append(jnp.dot(p.astype(mm_dtype), vh,
+                                    preferred_element_type=jnp.float32))
         o_ref[b] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
