@@ -44,6 +44,9 @@ VARIANTS = {
     # MXU-sum ones-column softmax that is now the default
     "gcvit_sm_div": ("GCViTTiny", (224, 224), {},
                      {"VIPTPU_GCVIT_SOFTMAX": "div"}),
+    # 8 images per attention grid step (256 programs instead of 2048 at L1):
+    # prices the per-grid-step DMA/loop overhead
+    "gcvit_bpp8": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_BPP": "8"}),
     "gcvit_bf16": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_MM": "bf16"}),
     # unrolled per-window attention: no GxG masked score matrix (kills the
     # 8x softmax waste at L1) and linear-VMEM bias -> the L4 batch-fold

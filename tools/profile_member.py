@@ -83,14 +83,20 @@ def print_op_table(logdir: str, iters: int, top: int, group: bool):
                 if group:
                     # collapse %stages_2_blocks_4.1 = bf16[...] ... into the
                     # op family: scope name for custom-calls, opcode otherwise
-                    m = re.match(r"%([a-zA-Z_][\w.]*) = \S+ (\w[\w-]*)\(", name)
+                    m = re.match(r"%([a-zA-Z_][\w.]*) = (\S+) (\w[\w-]*)\(", name)
                     if m:
-                        scope, opcode = m.groups()
+                        scope, rshape, opcode = m.groups()
                         scope = re.sub(r"[._]\d+$", "", scope)
                         scope = re.sub(r"blocks_\d+", "blocks", scope)
-                        name = f"{opcode}:{scope}" if opcode in (
-                            "custom-call",) else opcode + (
-                            f":{scope}" if opcode == "fusion" else "")
+                        if opcode == "custom-call":
+                            # distinguish model levels by the result's channel
+                            # width (e.g. GCViT L1..L4 = C 64/128/256/512)
+                            cw = re.search(r",(\d+)[\]}]", rshape)
+                            suffix = f"@C{cw.group(1)}" if cw else ""
+                            name = f"{opcode}:{scope}{suffix}"
+                        else:
+                            name = opcode + (
+                                f":{scope}" if opcode == "fusion" else "")
                 agg[name][0] += ev.duration_ps / 1e9 / iters  # ms per forward
                 agg[name][1] += 1
             tot = sum(v[0] for v in agg.values())
