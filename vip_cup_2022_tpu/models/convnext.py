@@ -199,10 +199,17 @@ class ConvNeXt(nn.Module):
                     p = self.variables["params"]
                     pn = p[f"stages_{j}_downsample_norm"]
                     pc = p[f"stages_{j}_downsample_conv"]
-                    xf = x.astype(jnp.float32)
-                    mean = jnp.mean(xf, axis=2, keepdims=True)
-                    var = jnp.var(xf, axis=2, keepdims=True)
-                    y = (xf - mean) * jax.lax.rsqrt(var + cfg.norm_eps)
+                    # E[x^2]-E[x]^2 stats (the whole-image kernel's form):
+                    # both reduces and the apply consume x directly, so XLA
+                    # fuses the f32 convert into each pass instead of
+                    # materializing a full f32 copy (profiled 2.3 ms at
+                    # 99x99x96x256 for the two-pass jnp.var form)
+                    mean = jnp.mean(x, axis=2, keepdims=True,
+                                    dtype=jnp.float32)
+                    ex2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
+                                   axis=2, keepdims=True)
+                    inv = jax.lax.rsqrt(ex2 - mean * mean + cfg.norm_eps)
+                    y = (x.astype(jnp.float32) - mean) * inv
                     y = y * pn["gamma"][:, None] + pn["beta"][:, None]
                     y = y.astype(x.dtype)
                     cd = cfg.dtype or jnp.promote_types(x.dtype, pc["kernel"].dtype)

@@ -335,9 +335,9 @@ def fused_ln_mlp_residual(
     return out.reshape(bsz, h, w, c)
 
 
-def _lnmlp_batchlane_kernel(x_ref, r_ref, g_ref, b_ref, w1t_ref, b1_ref,
-                            w2t_ref, b2_ref, ls_ref, o_ref, *, tp: int,
-                            eps: float, gelu: str = "erf",
+def _lnmlp_batchlane_kernel(x_ref, r_ref, dwb_ref, g_ref, b_ref, w1t_ref,
+                            b1_ref, w2t_ref, b2_ref, ls_ref, o_ref, *,
+                            tp: int, eps: float, gelu: str = "erf",
                             lane_fold: bool = True):
     """LN+MLP+layer-scale+residual with BATCH as the lane dimension.
 
@@ -357,7 +357,10 @@ def _lnmlp_batchlane_kernel(x_ref, r_ref, g_ref, b_ref, w1t_ref, b1_ref,
     the residual adds (lane slices at B-multiples are tile-aligned)."""
     ys = []
     for p in range(tp):
-        y = x_ref[p].astype(jnp.float32)              # (C, B)
+        # the depthwise-conv bias rides in here (one (C,1) broadcast-add on
+        # data already in VMEM) instead of a separate full-array HBM pass
+        # after the conv (profiled 1.46 ms per s1 block)
+        y = x_ref[p].astype(jnp.float32) + dwb_ref[:]  # (C, B)
         mean = y.mean(axis=0, keepdims=True)          # LN over C (sublanes)
         var = ((y - mean) ** 2).mean(axis=0, keepdims=True)
         y = (y - mean) * jax.lax.rsqrt(var + eps)
@@ -393,6 +396,7 @@ def fused_ln_mlp_residual_batchlane(
     residual: jax.Array,    # (H, W, C, B) — the block input
     ln_gamma, ln_beta, w1, b1, w2, b2, ls_gamma,
     *,
+    dw_bias=None,           # (C,) depthwise bias folded into the LN pass
     eps: float = 1e-6,
     row_tile: int = 8,
     gelu: Optional[str] = None,
@@ -418,12 +422,15 @@ def fused_ln_mlp_residual_batchlane(
         gelu=gelu_flavor(gelu),
         lane_fold=os.environ.get("VIPTPU_BATCHLANE_FOLD", "1") == "1",
     )
+    dwb = (jnp.zeros((c,), jnp.float32) if dw_bias is None
+           else jnp.asarray(dw_bias, jnp.float32))
     out = pl.pallas_call(
         kern,
         grid=(pl.cdiv(n, row_tile),),
         in_specs=[
             pl.BlockSpec((row_tile, c, b), lambda i: (i, 0, 0)),
             pl.BlockSpec((row_tile, c, b), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c, 1), lambda i: (0, 0)),
             pl.BlockSpec((c, 1), lambda i: (0, 0)),
             pl.BlockSpec((c, 1), lambda i: (0, 0)),
             pl.BlockSpec((hidden, c), lambda i: (0, 0)),
@@ -436,7 +443,7 @@ def fused_ln_mlp_residual_batchlane(
         out_shape=jax.ShapeDtypeStruct((n, c, b), dw_out.dtype),
         interpret=interpret,
     )(
-        x2, r2, col(ln_gamma), col(ln_beta),
+        x2, r2, dwb[:, None], col(ln_gamma), col(ln_beta),
         jnp.asarray(w1, dw_out.dtype).T, col(b1),
         jnp.asarray(w2, dw_out.dtype).T, col(b2), col(ls_gamma),
     )
@@ -444,10 +451,14 @@ def fused_ln_mlp_residual_batchlane(
 
 
 def blockdiag_dw7x7_hwcn(x: jax.Array, dw_kernel: jax.Array,
-                         dw_bias: jax.Array, group: int = 8) -> jax.Array:
+                         dw_bias: Optional[jax.Array], group: int = 8
+                         ) -> jax.Array:
     """Batch-last twin of :func:`blockdiag_dw7x7`: depthwise 7x7 on a
     (H, W, C, N) array via HWCN dimension numbers, block-diagonal grouped
-    kernel (off-diagonal taps exactly zero => numerically identical)."""
+    kernel (off-diagonal taps exactly zero => numerically identical).
+    ``dw_bias=None`` skips the bias add (the fused block folds it into the
+    LN/MLP kernel's VMEM pass instead — the standalone add profiled as a
+    1.46 ms full-array HBM round-trip per s1 block)."""
     c = x.shape[2]
     g = group if c % group == 0 else 1
     if g == 1:
@@ -462,6 +473,8 @@ def blockdiag_dw7x7_hwcn(x: jax.Array, dw_kernel: jax.Array,
         dimension_numbers=("HWCN", "HWIO", "HWCN"),
         feature_group_count=c // g,
     )
+    if dw_bias is None:
+        return out
     return out + dw_bias.astype(out.dtype)[:, None]
 
 
@@ -480,10 +493,10 @@ def fused_convnext_block_batchlane(
     Both halves live in the same layout domain, so none of the XLA<->pallas
     relayouts that sank the row-major hybrid (83 ms/block, NOTES_r2) occur.
     The production choice for ConvNeXt stages with C < 256."""
-    dw = blockdiag_dw7x7_hwcn(xt, dw_kernel, dw_bias)
+    dw = blockdiag_dw7x7_hwcn(xt, dw_kernel, None)
     return fused_ln_mlp_residual_batchlane(
         dw, xt, ln_gamma, ln_beta, w1, b1, w2, b2, ls_gamma,
-        eps=eps, gelu=gelu, interpret=interpret,
+        dw_bias=dw_bias, eps=eps, gelu=gelu, interpret=interpret,
     )
 
 

@@ -97,6 +97,9 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
     kern = functools.partial(_ln_dense_kernel, eps=eps, mm_dtype=mm_dtype)
     if x2.dtype == jnp.float32:
         row_tile //= 2  # f32 tiles are 2x the bytes; stay under scoped VMEM
+    if c < 128:
+        row_tile *= 128 // c  # narrow-C tiles are lane-padded half-empty;
+        # more rows per step keeps bytes/step (and the grid floor) constant
     t = min(row_tile, max(8, -(-m // 8) * 8))  # small-M: don't allocate a
     # full 1024-row VMEM tile for a 2-image batch (scoped-vmem OOM at C=512)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
@@ -136,21 +139,36 @@ def softmax_mode() -> str:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
-                 mm_dtype=jnp.float32):
-    # bpp = batch images per program (block dim 0): amortizes grid-step
-    # overhead when the per-image work is tiny (GCViT L1: 2048 programs of
-    # ~20 MFLOP each at bpp=1)
+                 mm_dtype=jnp.float32, wpp=1):
+    # wpp = window-GROUPS per program: the per-grid-step fixed cost is the
+    # dominant kernel cost at L1 (tools/exp_attn_parts.py: empty-kernel
+    # floor 1.96 ms of the 3.52 ms total across 2048 steps), so each
+    # program handles wpp groups sliced from one big block — fewer, fatter
+    # steps, identical math. (bpp — images per step — crashes the v5e
+    # Mosaic backend; wpp slices VALUES, which is legal.)
     mxu_sum = softmax_mode() == "mxu"
-    for b in range(q_ref.shape[0]):
-        qfull = (q_ref[b].astype(jnp.float32) * scale).astype(mm_dtype)
-        kfull = k_ref[b].astype(mm_dtype)             # (gN, C)
-        vfull = v_ref[b].astype(mm_dtype)
-        c = kfull.shape[1]
-        hd = c // heads
-        outs = []
+    gn = g * n
+    qall = q_ref[0]
+    kall = k_ref[0]                                   # (wpp*gN, C)
+    vall = v_ref[0]
+    c = kall.shape[1]
+    hd = c // heads
+    q_global = qall.shape[0] != wpp * gn
+    outs = []
+    for w in range(wpp):
+        kfull = jax.lax.slice(kall, (w * gn, 0), ((w + 1) * gn, c))
+        vfull = vall if wpp == 1 else jax.lax.slice(
+            vall, (w * gn, 0), ((w + 1) * gn, c))
+        kfull = kfull.astype(mm_dtype)
+        if q_global:
+            qf = qall
+        else:
+            qf = jax.lax.slice(qall, (w * gn, 0), ((w + 1) * gn, c))
+        qfull = (qf.astype(jnp.float32) * scale).astype(mm_dtype)
+        houts = []
         for h in range(heads):
             q = qfull[:, h * hd : (h + 1) * hd]
-            if q.shape[0] != g * n:                   # global query: tile
+            if q.shape[0] != gn:                      # global query: tile
                 q = jnp.concatenate([q] * g, axis=0)
             k = kfull[:, h * hd : (h + 1) * hd]
             s = jax.lax.dot_general(
@@ -160,7 +178,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
             s = s + mb_ref[h]
             s = s - jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s)
-            vh = vfull[:, h * hd : (h + 1) * hd]
+            vh = vfull[:, h * hd : (h + 1) * hd].astype(mm_dtype)
             if mxu_sum:
                 # row-sum on the MXU: p @ [V | 1] yields (gN, hd+1) whose
                 # last column is sum(p); normalize the small output instead
@@ -171,12 +189,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
                                 preferred_element_type=jnp.float32)
                 num = jax.lax.slice(o_ext, (0, 0), (o_ext.shape[0], hd))
                 den = jax.lax.slice(o_ext, (0, hd), (o_ext.shape[0], hd + 1))
-                outs.append(num / den)
+                houts.append(num / den)
             else:
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
-                outs.append(jnp.dot(p.astype(mm_dtype), vh,
-                                    preferred_element_type=jnp.float32))
-        o_ref[b] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+                houts.append(jnp.dot(p.astype(mm_dtype), vh,
+                                     preferred_element_type=jnp.float32))
+        outs.append(jnp.concatenate(houts, axis=1))
+    o = outs[0] if wpp == 1 else jnp.concatenate(outs, axis=0)
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _attn_kernel_perwin(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, g, n,
@@ -254,15 +274,33 @@ def attn_mode(mode: Optional[str] = None) -> str:
     return mode or os.environ.get("VIPTPU_GCVIT_ATTN", "masked")
 
 
+def _pick_wpp(nwg: int, g: int, n: int, c: int, heads: int,
+              itemsize: int) -> int:
+    """Window-groups per program: largest divisor of ``nwg`` whose
+    double-buffered qkv+out blocks and masked bias stay under ~7 MB of
+    VMEM. Fewer, fatter grid steps — the per-step fixed cost dominates the
+    attention kernel at L1 (exp_attn_parts: 1.96 ms empty floor of 3.52)."""
+    bias_bytes = heads * (g * n) ** 2 * 4
+    best = 1
+    for cand in range(1, nwg + 1):
+        if nwg % cand:
+            continue
+        blocks = 8 * cand * g * n * c * itemsize  # 2x double-buffer x 4 refs
+        if blocks + bias_bytes <= 7 * 2 ** 20:
+            best = cand
+    return best
+
+
 def grouped_window_attention(
     q, k, v, heads, n, *, bias, scale, group, q_is_global=False,
-    force_mm_dtype=None, mode=None, bpp=1, interpret=False,
+    force_mm_dtype=None, mode=None, wpp=None, interpret=False,
 ):
     """Block-diagonal grouped window attention.
 
     q/k/v: (B, nWin*N, C), columns ordered [head][head_dim]; for GCViT's
     global-query blocks ``q`` is the shared (B, N, C) query. ``bias`` is the
-    dense (heads, N, N) rel-pos bias. G windows are stacked per program.
+    dense (heads, N, N) rel-pos bias. G windows are stacked per program,
+    and ``wpp`` window-groups are processed per grid step (masked mode).
     ``mode`` picks the score layout: 'masked' = one (G*N, G*N) masked GEMM
     (bias tiled G x G with -1e9 off-diagonal — exactly G independent window
     attentions, but G x the softmax VPU work); 'batched' = (G, N, N) f32
@@ -275,8 +313,13 @@ def grouped_window_attention(
     assert nwin % g == 0, (nwin, g)
     nwg = nwin // g
     mode = attn_mode(mode)
-    if b % bpp != 0 or mode != "masked":
-        bpp = 1  # per-window kernels index block dim 0 at [0] only
+    if mode == "masked":
+        if wpp is None:
+            wpp = _pick_wpp(nwg, g, n, c, heads, jnp.dtype(k.dtype).itemsize)
+        if nwg % wpp:
+            wpp = 1
+    else:
+        wpp = 1  # per-window kernels handle one group per step
 
     if mode == "masked":
         # combined bias + block-diagonal mask: position (i, j) belongs to
@@ -288,7 +331,7 @@ def grouped_window_attention(
         bias_spec = pl.BlockSpec((heads, g * n, g * n), lambda b_, wg: (0, 0, 0))
         kern = functools.partial(
             _attn_kernel, scale=scale, g=g, n=n, heads=heads,
-            mm_dtype=_mm_dtype(k.dtype, force=force_mm_dtype),
+            mm_dtype=_mm_dtype(k.dtype, force=force_mm_dtype), wpp=wpp,
         )
     else:
         mb = jnp.asarray(bias, jnp.float32)           # (heads, N, N), no tile
@@ -299,20 +342,20 @@ def grouped_window_attention(
             batched=(mode == "batched"),
         )
     if q_is_global:
-        q_spec = pl.BlockSpec((bpp, n, c), lambda b_, wg: (b_, 0, 0))
+        q_spec = pl.BlockSpec((1, n, c), lambda b_, wg: (b_, 0, 0))
     else:
-        q_spec = pl.BlockSpec((bpp, g * n, c), lambda b_, wg: (b_, wg, 0))
+        q_spec = pl.BlockSpec((1, wpp * g * n, c), lambda b_, wg: (b_, wg, 0))
 
     return pl.pallas_call(
         kern,
-        grid=(b // bpp, nwg),
+        grid=(b, nwg // wpp),
         in_specs=[
             q_spec,
-            pl.BlockSpec((bpp, g * n, c), lambda b_, wg: (b_, wg, 0)),
-            pl.BlockSpec((bpp, g * n, c), lambda b_, wg: (b_, wg, 0)),
+            pl.BlockSpec((1, wpp * g * n, c), lambda b_, wg: (b_, wg, 0)),
+            pl.BlockSpec((1, wpp * g * n, c), lambda b_, wg: (b_, wg, 0)),
             bias_spec,
         ],
-        out_specs=pl.BlockSpec((bpp, g * n, c), lambda b_, wg: (b_, wg, 0)),
+        out_specs=pl.BlockSpec((1, wpp * g * n, c), lambda b_, wg: (b_, wg, 0)),
         out_shape=jax.ShapeDtypeStruct((b, toks, c), k.dtype),
         interpret=interpret,
     )(q, k, v, mb)
@@ -353,6 +396,8 @@ def proj_res_ln_mlp(
                              gelu=gelu_flavor(gelu))
     if x2.dtype == jnp.float32:
         row_tile //= 2  # f32 tiles are 2x the bytes (see ln_dense)
+    if c < 128:
+        row_tile *= 128 // c  # narrow-C: see ln_dense
     t = min(row_tile, max(8, -(-m // 8) * 8))  # small-M clamp (see ln_dense)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     return pl.pallas_call(
@@ -490,11 +535,12 @@ def fused_window_transformer_block(
         # folded single-window levels: q already has one row per token slot
         # (image i's global query in slot i), i.e. it IS a regular q
         q_is_global = fold == 1
-    bpp = int(os.environ.get("VIPTPU_GCVIT_BPP", "1"))
+    wpp_env = os.environ.get("VIPTPU_GCVIT_WPP")
     attn = grouped_window_attention(
         q, k, v, heads, n, bias=bias, scale=scale, group=g,
         q_is_global=q_is_global, force_mm_dtype=force_mm_dtype,
-        mode=mode, bpp=bpp, interpret=interpret,
+        mode=mode, wpp=int(wpp_env) if wpp_env else None,
+        interpret=interpret,
     )
     out = proj_res_ln_mlp(
         attn.reshape(b * toks, c), x2, wp, bp, gamma1, ln2_g, ln2_b,
