@@ -34,6 +34,15 @@ VARIANTS = {
     # dots, the round-3-early shape) — prices the tp-wide GEMM concat
     "convnext_nofold": ("convnext_tiny_in22k", (200, 200), {},
                         {"VIPTPU_BATCHLANE_FOLD": "0"}),
+    # dw blockdiag group-size sweep: the grouped conv's channel-split
+    # relayout profiled 4.5 ms/s1-block at g8; wider groups waste MXU FLOPs
+    # but split channels into fewer, fatter blocks
+    "convnext_dwg16": ("convnext_tiny_in22k", (200, 200), {},
+                       {"VIPTPU_DW_GROUP": "16"}),
+    "convnext_dwg32": ("convnext_tiny_in22k", (200, 200), {},
+                       {"VIPTPU_DW_GROUP": "32"}),
+    "convnext_dwg96": ("convnext_tiny_in22k", (200, 200), {},
+                       {"VIPTPU_DW_GROUP": "96"}),
     # batch-last at s1/s2 as shipped, but wide stages (s3/s4) on plain XLA
     # GEMMs instead of the whole-image pallas kernel — re-prices the round-2
     # f32-era +15% win in the bf16 world
@@ -69,6 +78,10 @@ VARIANTS = {
     "effv2t_bdiag": ("EfficientNetV2T", (200, 200), {},
                      {"VIPTPU_DW_BLOCKDIAG": "1"}),
     "resnest": ("ResNest50", (200, 200), {}, {}),
+    # conv-BN weights-level fold: unlike ResNetRS (XLA folds it there), the
+    # split-attention concat sits between conv and BN, so XLA CANNOT fuse
+    # the BN+relu epilogue (profiled 3.65 ms of 34.8 in _bn_act/max fusions)
+    "resnest_bnfused": ("ResNest50", (200, 200), {}, {}),
     "resnetrs": ("ResNetRS50", (200, 200), {}, {}),
     # conv-BN folded at the weights level (utils/surgery.fuse_all_conv_bn):
     # prices whether pre-folding beats XLA's own inference-BN folding

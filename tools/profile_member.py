@@ -52,7 +52,30 @@ MEMBERS = {
 }
 
 
-def print_op_table(logdir: str, iters: int, top: int, group: bool):
+def build_hlo_op_name_map(hlo_text: str):
+    """Map HLO instruction names (e.g. 'fusion.123', 'convolution.7') to the
+    jax scope carried in their metadata op_name — XLA's fusion names are
+    anonymous, but the fusion instruction keeps the root op's op_name
+    (e.g. 'jit(main)/ResNest/stages_2/blocks_3/conv2/conv_general_dilated'),
+    which attributes device time to model modules."""
+    mapping = {}
+    for m in re.finditer(
+            r"%([\w.-]+) = [^\n]*?metadata={[^}]*?op_name=\"([^\"]+)\"",
+            hlo_text):
+        mapping[m.group(1)] = m.group(2)
+    return mapping
+
+
+def _scope_of(op_name: str, depth: int = 3) -> str:
+    """Collapse 'jit(x)/jit(main)/Model/stages_2/blocks_3/conv2/conv' to the
+    trailing model path, block indices collapsed so repeats aggregate."""
+    parts = [p for p in op_name.split("/") if not p.startswith("jit(")]
+    parts = [re.sub(r"_\d+$", "", p) for p in parts]
+    return "/".join(parts[-depth:]) if parts else op_name
+
+
+def print_op_table(logdir: str, iters: int, top: int, group: bool,
+                   hlo_map=None):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(
@@ -80,6 +103,16 @@ def print_op_table(logdir: str, iters: int, top: int, group: bool):
             agg = defaultdict(lambda: [0.0, 0])
             for ev in line.events:
                 name = em.get(ev.metadata_id, "?")
+                if group and hlo_map:
+                    mn = re.match(r"%([\w.-]+) =", name)
+                    if mn and mn.group(1) in hlo_map:
+                        opcode = re.match(
+                            r"%[\w.-]+ = \S+ (\w[\w-]*)\(", name)
+                        oc = opcode.group(1) if opcode else "?"
+                        agg_key = f"{oc}@{_scope_of(hlo_map[mn.group(1)])}"
+                        agg[agg_key][0] += ev.duration_ps / 1e9 / iters
+                        agg[agg_key][1] += 1
+                        continue
                 if group:
                     # collapse %stages_2_blocks_4.1 = bf16[...] ... into the
                     # op family: scope name for custom-calls, opcode otherwise
@@ -143,6 +176,14 @@ def main():
     inputs = [jax.block_until_ready(mk(jax.random.fold_in(key, i)))
               for i in range(args.iters + 1)]
     np.asarray(one(fv, inputs[0], key))  # compile + warm
+    hlo_map = None
+    try:
+        txt = one.lower(fv, inputs[0], key).compile().as_text()
+        hlo_map = build_hlo_op_name_map(txt)
+        print(f"hlo op_name map: {len(hlo_map)} instructions", flush=True)
+    except Exception as e:  # noqa: BLE001 — AOT text is best-effort
+        print(f"hlo map unavailable ({type(e).__name__}: {str(e)[:80]})",
+              flush=True)
     print("warm; tracing...", flush=True)
 
     logdir = tempfile.mkdtemp(prefix=f"prof_{args.member}_")
@@ -150,7 +191,8 @@ def main():
         outs = [one(fv, x, key) for x in inputs[1:]]
         np.asarray(outs[-1])
 
-    print_op_table(logdir, args.iters, args.top, group=not args.raw)
+    print_op_table(logdir, args.iters, args.top, group=not args.raw,
+                   hlo_map=hlo_map)
     if args.keep:
         print("trace dir:", logdir)
     else:

@@ -86,9 +86,22 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         ch = x.shape[-1]
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
+        if x.dtype == jnp.bfloat16:
+            # E[x^2]-E[x]^2 stats: every pass (both reduces and the apply)
+            # consumes the bf16 input directly, so XLA fuses the f32 convert
+            # into each instead of materializing a full f32 copy (profiled
+            # 3.9 ms on GCViT's 256x112x112x64 stem norm for the two-pass
+            # jnp.var form). f32-input paths (CPU parity oracles) keep the
+            # two-pass form bit-for-bit.
+            mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+            ex2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
+                           axis=-1, keepdims=True)
+            var = jnp.maximum(ex2 - mean * mean, 0.0)
+            xf = x.astype(jnp.float32)
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.var(xf, axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         if self.use_scale:
             init = nn.initializers.zeros if self.zero_gamma else nn.initializers.ones

@@ -458,8 +458,12 @@ def blockdiag_dw7x7_hwcn(x: jax.Array, dw_kernel: jax.Array,
     kernel (off-diagonal taps exactly zero => numerically identical).
     ``dw_bias=None`` skips the bias add (the fused block folds it into the
     LN/MLP kernel's VMEM pass instead — the standalone add profiled as a
-    1.46 ms full-array HBM round-trip per s1 block)."""
+    1.46 ms full-array HBM round-trip per s1 block). VIPTPU_DW_GROUP
+    overrides the group size (the conv's MXU FLOP waste scales with group,
+    but XLA's grouped-conv channel-split relayout — profiled 4.5 ms per s1
+    block at group 8, i.e. a (12, 8) split — may prefer wider blocks)."""
     c = x.shape[2]
+    group = int(os.environ.get("VIPTPU_DW_GROUP", "0")) or group
     g = group if c % group == 0 else 1
     if g == 1:
         kern = dw_kernel[:, :, None, :]
