@@ -43,12 +43,28 @@ VARIANTS = {
                        {"VIPTPU_DW_GROUP": "32"}),
     "convnext_dwg96": ("convnext_tiny_in22k", (200, 200), {},
                        {"VIPTPU_DW_GROUP": "96"}),
+    # g=1 is XLA's TRUE-depthwise lowering under HWCN dimension numbers
+    # (the 9.8 ms figure in blockdiag_dw7x7's docstring was NHWC); g=4
+    # probes below g8 — the scope-attributed profile shows the s1/s2 dw
+    # convs at 20.3 ms of the member's 123.5 vs a ~1.5 ms bandwidth floor
+    "convnext_dwg1": ("convnext_tiny_in22k", (200, 200), {},
+                      {"VIPTPU_DW_GROUP": "1"}),
+    "convnext_dwg4": ("convnext_tiny_in22k", (200, 200), {},
+                      {"VIPTPU_DW_GROUP": "4"}),
+    # bf16 tap accumulation in the whole-image kernel (s3/s4): prices
+    # VPU bf16 packing; taps are 1.45 of the 4.64 ms s3 block
+    "convnext_tapsbf16": ("convnext_tiny_in22k", (200, 200), {},
+                          {"VIPTPU_DW_TAPS": "bf16"}),
     # batch-last at s1/s2 as shipped, but wide stages (s3/s4) on plain XLA
     # GEMMs instead of the whole-image pallas kernel — re-prices the round-2
     # f32-era +15% win in the bf16 world
     "convnext_s34xla": ("convnext_tiny_in22k", (200, 200), {},
                         {"VIPTPU_CONVNEXT_FUSED_MIN_C": "100000"}),
     "gcvit": ("GCViTTiny", (224, 224), {}, {}),
+    # three-kernel pipeline (pre-monoblock shape): prices the whole-block
+    # single-program kernel (two fewer HBM round-trips of the token array
+    # per block + no inter-kernel XLA reshape glue)
+    "gcvit_mono0": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_MONO": "0"}),
     # classic p/sum(p) softmax (the pre-round-3b shape) — control for the
     # MXU-sum ones-column softmax that is now the default
     "gcvit_sm_div": ("GCViTTiny", (224, 224), {},

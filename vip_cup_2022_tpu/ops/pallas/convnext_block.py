@@ -200,7 +200,8 @@ def _pick_fold(bsz: int, h: int, w: int, cp: int, hp_: int,
 def _kernel(x_ref, wdw_ref, dwb_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
             w2_ref, b2_ref, ls_ref, *rest, th: int, w: int, cp: int,
             c_real: int, eps: float, gelu: str = "erf", g: int = 1,
-            n_split: int = 1, int8_mm: bool = False):
+            n_split: int = 1, int8_mm: bool = False,
+            tap_bf16: bool = False):
     if int8_mm:
         s1_ref, s2_ref, out_ref = rest
     else:
@@ -211,13 +212,19 @@ def _kernel(x_ref, wdw_ref, dwb_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
     # depthwise 7x7: 49 shifted multiply-adds on the VPU, f32 accumulate.
     # x_ref holds g full padded images; rows [r0+dy, r0+dy+th) are the
     # halo'd slice for output rows [r0, r0+th) of every image in the fold.
-    acc = jnp.zeros((g, th, w, cp), jnp.float32)
+    # tap_bf16 (VIPTPU_DW_TAPS=bf16, experiment): accumulate in bf16 —
+    # prices whether the v5e VPU packs bf16 FMAs 2x (taps profiled
+    # 1.45 ms of the 4.64 ms s3 block). ~49-term bf16 accumulation feeds
+    # the LN, which re-normalizes; flip-rate harness gates any promotion.
+    tap_dtype = jnp.bfloat16 if tap_bf16 else jnp.float32
+    acc = jnp.zeros((g, th, w, cp), tap_dtype)
+    wdw = wdw_ref[:].astype(tap_dtype)
     for dy in range(7):
         rows = x_ref[:, pl.ds(r0 + dy, th)]  # (g, th, w+6, cp)
-        rows = rows.astype(jnp.float32)
+        rows = rows.astype(tap_dtype)
         for dx in range(7):
-            acc = acc + rows[:, :, dx : dx + w, :] * wdw_ref[dy, dx, :]
-    acc = acc + dwb_ref[:]
+            acc = acc + rows[:, :, dx : dx + w, :] * wdw[dy, dx, :]
+    acc = acc.astype(jnp.float32) + dwb_ref[:]
 
     # LayerNorm over the REAL channels (padded lanes are exactly 0, so the
     # plain sums are already masked; divide by c_real, var = E[x^2]-E[x]^2)
@@ -601,7 +608,9 @@ def fused_convnext_block(
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     kern = functools.partial(_kernel, th=th, w=w, cp=cp, c_real=c, eps=eps,
                              gelu=gelu_flavor(gelu), g=g, n_split=n_split,
-                             int8_mm=int8_mm)
+                             int8_mm=int8_mm,
+                             tap_bf16=os.environ.get(
+                                 "VIPTPU_DW_TAPS", "f32") == "bf16")
 
     if int8_mm:
         # per-output-channel int8 weights (host-side; XLA runs this once per

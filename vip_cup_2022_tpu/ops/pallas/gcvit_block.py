@@ -138,6 +138,15 @@ def softmax_mode() -> str:
     return os.environ.get("VIPTPU_GCVIT_SOFTMAX", "mxu")
 
 
+def _masked_bias(bias, g, n):
+    """Combined rel-pos bias + block-diagonal mask for the masked-GEMM
+    layout: position (i, j) belongs to windows (i//N, j//N); off-diagonal
+    pairs get -1e9 (=> exactly 0 after softmax). (heads, gN, gN) f32."""
+    eye = np.kron(np.eye(g, dtype=np.float32), np.ones((n, n), np.float32))
+    tiled = jnp.tile(jnp.asarray(bias, jnp.float32), (1, g, g))
+    return tiled * eye + (1.0 - eye) * -1e9
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
                  mm_dtype=jnp.float32, wpp=1):
     # wpp = window-GROUPS per program: the per-grid-step fixed cost is the
@@ -322,12 +331,7 @@ def grouped_window_attention(
         wpp = 1  # per-window kernels handle one group per step
 
     if mode == "masked":
-        # combined bias + block-diagonal mask: position (i, j) belongs to
-        # windows (i//N, j//N); off-diagonal pairs get -1e9 (=> exactly 0
-        # after softmax)
-        eye = np.kron(np.eye(g, dtype=np.float32), np.ones((n, n), np.float32))
-        tiled = jnp.tile(bias.astype(jnp.float32), (1, g, g))
-        mb = tiled * eye + (1.0 - eye) * -1e9         # (heads, gN, gN)
+        mb = _masked_bias(bias, g, n)                 # (heads, gN, gN)
         bias_spec = pl.BlockSpec((heads, g * n, g * n), lambda b_, wg: (0, 0, 0))
         kern = functools.partial(
             _attn_kernel, scale=scale, g=g, n=n, heads=heads,
@@ -428,6 +432,207 @@ def proj_res_ln_mlp(
 
 
 # ---------------------------------------------------------------------------
+# monoblock: the WHOLE transformer block in one program per image
+# ---------------------------------------------------------------------------
+def _mono_kernel(*refs, eps, mm_dtype, gelu, scale, g, n, heads, s_comp,
+                 mxu_sum):
+    """LN1 -> qkv GEMM -> grouped masked window attention -> proj +
+    layer-scale residual -> LN2 -> MLP -> residual, all on one image's
+    window-ordered tokens held in VMEM. Identical math to the three-kernel
+    pipeline (_ln_dense_kernel / _attn_kernel / _tail_kernel) — the win is
+    eliminating two full HBM round-trips of the token array per block plus
+    the XLA reshape/copy glue between kernels (C=64 levels DMA at ~210 GB/s,
+    so each saved pass is expensive; profiled L1 = 30.7 of GCViTTiny's
+    76.8 ms device time)."""
+    has_qg = s_comp == 2
+    if has_qg:
+        (x_ref, qg_ref, ln1g_ref, ln1b_ref, wqkv_ref, bqkv_ref, mb_ref,
+         wp_ref, bp_ref, g1_ref, ln2g_ref, ln2b_ref, w1_ref, b1_ref,
+         w2_ref, b2_ref, g2_ref, o_ref) = refs
+    else:
+        (x_ref, ln1g_ref, ln1b_ref, wqkv_ref, bqkv_ref, mb_ref,
+         wp_ref, bp_ref, g1_ref, ln2g_ref, ln2b_ref, w1_ref, b1_ref,
+         w2_ref, b2_ref, g2_ref, o_ref) = refs
+
+    x = x_ref[0]                                    # (toks, C)
+    c = x.shape[1]
+    hd = c // heads
+    gn = g * n
+    toks = x.shape[0]
+    nwg = toks // gn
+
+    # LN1 + qkv projection. One GEMM per COMPONENT (q/k/v), not one fat
+    # (toks, 3C) GEMM: the per-group/per-head loads then slice clean
+    # (toks, C) arrays row-wise (free) + at hd lane offsets (what the
+    # three-kernel attention kernel already does), instead of lane-slicing
+    # a 3C-wide array at C offsets (vector relayouts per group).
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * ln1g_ref[:] + ln1b_ref[:]).astype(mm_dtype)
+    wqkv = wqkv_ref[:]
+    bqkv = bqkv_ref[:]
+    s_c = wqkv.shape[1] // c
+    comps = []
+    for s_i in range(s_c):
+        wj = jax.lax.slice(wqkv, (0, s_i * c), (wqkv.shape[0], (s_i + 1) * c))
+        bj = jax.lax.slice(bqkv, (s_i * c,), ((s_i + 1) * c,))
+        comps.append(
+            jnp.dot(y, wj, preferred_element_type=jnp.float32) + bj)
+
+    if has_qg:
+        qg = qg_ref[0]                              # (n, C) or (toks, C)
+        q_tiled = qg.shape[0] != toks               # per-image global query
+        kc, vc = comps
+        qc = None
+    else:
+        q_tiled = False
+        qc, kc, vc = comps
+    kc = kc.astype(mm_dtype)
+    vc = vc.astype(mm_dtype)
+
+    outs = []
+    for wg in range(nwg):
+        r0 = wg * gn
+        kfull = jax.lax.slice(kc, (r0, 0), (r0 + gn, c))
+        vfull = jax.lax.slice(vc, (r0, 0), (r0 + gn, c))
+        if has_qg:
+            qf = qg if q_tiled else jax.lax.slice(qg, (r0, 0), (r0 + gn, c))
+        else:
+            qf = jax.lax.slice(qc, (r0, 0), (r0 + gn, c))
+        qfull = (qf.astype(jnp.float32) * scale).astype(mm_dtype)
+        houts = []
+        for h in range(heads):
+            q = qfull[:, h * hd : (h + 1) * hd]
+            if q.shape[0] != gn:                    # global query: tile
+                q = jnp.concatenate([q] * g, axis=0)
+            k = kfull[:, h * hd : (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + mb_ref[h]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            vh = vfull[:, h * hd : (h + 1) * hd].astype(mm_dtype)
+            if mxu_sum:
+                v_ext = jnp.concatenate(
+                    [vh, jnp.ones((vh.shape[0], 1), vh.dtype)], axis=1)
+                o_ext = jnp.dot(p.astype(mm_dtype), v_ext,
+                                preferred_element_type=jnp.float32)
+                num = jax.lax.slice(o_ext, (0, 0), (o_ext.shape[0], hd))
+                den = jax.lax.slice(o_ext, (0, hd), (o_ext.shape[0], hd + 1))
+                houts.append(num / den)
+            else:
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                houts.append(jnp.dot(p.astype(mm_dtype), vh,
+                                     preferred_element_type=jnp.float32))
+        outs.append(jnp.concatenate(houts, axis=1))
+    attn = outs[0] if nwg == 1 else jnp.concatenate(outs, axis=0)
+    # match the three-kernel pipeline bit-for-bit: the attention kernel
+    # stores its output in the token dtype before the tail reads it
+    attn = attn.astype(x.dtype)
+
+    proj = jnp.dot(attn.astype(mm_dtype), wp_ref[:],
+                   preferred_element_type=jnp.float32) + bp_ref[:]
+    r1 = xf + proj * g1_ref[:]
+
+    mean2 = r1.mean(axis=-1, keepdims=True)
+    var2 = ((r1 - mean2) ** 2).mean(axis=-1, keepdims=True)
+    y2 = (r1 - mean2) * jax.lax.rsqrt(var2 + eps)
+    y2 = y2 * ln2g_ref[:] + ln2b_ref[:]
+    h_ = jnp.dot(y2.astype(mm_dtype), w1_ref[:],
+                 preferred_element_type=jnp.float32)
+    h_ = _gelu(h_ + b1_ref[:], gelu)
+    o = jnp.dot(h_.astype(mm_dtype), w2_ref[:],
+                preferred_element_type=jnp.float32)
+    o = r1 + (o + b2_ref[:]) * g2_ref[:]
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _mono_vmem_model(toks, c, hidden, heads, gn, s_comp, itemsize) -> int:
+    """Rough VMEM bytes for one _mono_kernel program: f32 qkv + bias +
+    score tile + residual + f32 MLP hidden + bf16 weights + 2x double-
+    buffered token blocks."""
+    return (
+        4 * toks * s_comp * c          # qkv (f32 accum)
+        + 4 * heads * gn * gn          # masked bias block (heads, gN, gN)
+        + 4 * gn * gn                  # score tile
+        + 4 * toks * c * 2             # xf + r1
+        + 4 * toks * hidden            # MLP hidden (f32)
+        + 2 * (c * 3 * c + c * c + 2 * c * hidden)  # weights (bf16)
+        + 4 * toks * c * itemsize      # in/out blocks, double-buffered
+    )
+
+
+def mono_window_transformer_block(
+    x_win, *, heads, n, ln1_g, ln1_b, wqkv, bqkv, bias, wp, bp,
+    ln2_g, ln2_b, w1, b1, w2, b2, gamma1, gamma2, scale, q_global,
+    group, eps, force_mm_dtype=None, interpret=False,
+):
+    """One pallas program per image for the whole block; see _mono_kernel.
+    ``q_global`` may be None (local block), (B, N, C) (global query) or
+    (B, toks, C) (folded single-window levels, a full per-token q)."""
+    b, toks, c = x_win.shape
+    hidden = w1.shape[1]
+    g = group
+    gn = g * n
+    mm_dtype = _mm_dtype(x_win.dtype, force=force_mm_dtype)
+    s_comp = 3 if q_global is None else 2
+    mxu = softmax_mode() == "mxu"
+    kern = functools.partial(
+        _mono_kernel, eps=eps, mm_dtype=mm_dtype, gelu=gelu_flavor(None),
+        scale=scale, g=g, n=n, heads=heads, s_comp=s_comp, mxu_sum=mxu)
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    ones = jnp.ones((c,), jnp.float32)
+    gamma1 = ones if gamma1 is None else f32(gamma1)
+    gamma2 = ones if gamma2 is None else f32(gamma2)
+
+    # the dense rel-pos bias + off-diagonal mask, expanded to the group
+    # (same construction grouped_window_attention uses)
+    mb = _masked_bias(bias, g, n)
+
+    in_specs = [pl.BlockSpec((1, toks, c), lambda i: (i, 0, 0))]
+    args = [x_win]
+    if s_comp == 2:
+        qrows = q_global.shape[1]
+        in_specs.append(pl.BlockSpec((1, qrows, c), lambda i: (i, 0, 0)))
+        args.append(jnp.asarray(q_global, x_win.dtype))
+    w_specs = [
+        pl.BlockSpec((c,), lambda i: (0,)),
+        pl.BlockSpec((c,), lambda i: (0,)),
+        pl.BlockSpec((c, s_comp * c), lambda i: (0, 0)),
+        pl.BlockSpec((s_comp * c,), lambda i: (0,)),
+        pl.BlockSpec(mb.shape, lambda i: (0,) * mb.ndim),
+        pl.BlockSpec((c, c), lambda i: (0, 0)),
+        pl.BlockSpec((c,), lambda i: (0,)),
+        pl.BlockSpec((c,), lambda i: (0,)),
+        pl.BlockSpec((c,), lambda i: (0,)),
+        pl.BlockSpec((c,), lambda i: (0,)),
+        pl.BlockSpec((c, hidden), lambda i: (0, 0)),
+        pl.BlockSpec((hidden,), lambda i: (0,)),
+        pl.BlockSpec((hidden, c), lambda i: (0, 0)),
+        pl.BlockSpec((c,), lambda i: (0,)),
+        pl.BlockSpec((c,), lambda i: (0,)),
+    ]
+    w_args = [
+        f32(ln1_g), f32(ln1_b), jnp.asarray(wqkv, mm_dtype), f32(bqkv), mb,
+        jnp.asarray(wp, mm_dtype), f32(bp), gamma1, f32(ln2_g), f32(ln2_b),
+        jnp.asarray(w1, mm_dtype), f32(b1), jnp.asarray(w2, mm_dtype),
+        f32(b2), gamma2,
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=in_specs + w_specs,
+        out_specs=pl.BlockSpec((1, toks, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, toks, c), x_win.dtype),
+        interpret=interpret,
+    )(*args, *w_args)
+
+
+# ---------------------------------------------------------------------------
 # whole block
 # ---------------------------------------------------------------------------
 def _pick_group(nwin: int, n: int, cap: int = 512) -> int:
@@ -515,6 +720,32 @@ def fused_window_transformer_block(
         mode = attn_mode(raw_mode)
 
     g = group or _pick_group(nwin, n)
+
+    # monoblock: whole block in one program per image (masked mode only).
+    # VIPTPU_GCVIT_MONO=0 restores the three-kernel pipeline; the VMEM
+    # model gates shapes whose per-program footprint would overflow.
+    if (
+        mode == "masked"
+        and os.environ.get("VIPTPU_GCVIT_MONO", "1") == "1"
+        and nwin % g == 0
+        and _mono_vmem_model(
+            toks, c, w1.shape[1], heads, g * n,
+            3 if q_global is None else 2,
+            jnp.dtype(x_win.dtype).itemsize,
+        ) <= 11 * 2 ** 20
+    ):
+        out = mono_window_transformer_block(
+            x_win, heads=heads, n=n, ln1_g=ln1_g, ln1_b=ln1_b,
+            wqkv=wqkv, bqkv=bqkv, bias=bias, wp=wp, bp=bp,
+            ln2_g=ln2_g, ln2_b=ln2_b, w1=w1, b1=b1, w2=w2, b2=b2,
+            gamma1=gamma1, gamma2=gamma2, scale=scale,
+            q_global=None if q_global is None
+            else jnp.asarray(q_global, x_win.dtype),
+            group=g, eps=eps, force_mm_dtype=force_mm_dtype,
+            interpret=interpret,
+        )
+        return out.reshape(b0, toks0, c)
+
     ones = jnp.ones((c,), jnp.float32)
     gamma1 = ones if gamma1 is None else gamma1
     gamma2 = ones if gamma2 is None else gamma2
