@@ -125,12 +125,17 @@ class AotNet(nn.Module):
     # helpers (called inside the compact __call__, submodule names flat)
     # ------------------------------------------------------------------
     def _conv_nb(self, x, filters, kernel, stride, name, groups=1, padding="SAME"):
-        # kecam conv2d_no_bias with torch padding (common_layers.py:230-250)
+        # kecam conv2d_no_bias with torch padding (common_layers.py:230-250);
+        # the symmetric k//2 zeros ride the conv's own explicit padding so
+        # XLA folds them into the window instead of materializing a padded
+        # copy before every conv
         if padding.upper() == "SAME" and kernel > 1:
             p = kernel // 2
-            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+            pad_arg = ((p, p), (p, p))
+        else:
+            pad_arg = "VALID"
         return nn.Conv(
-            filters, (kernel, kernel), strides=(stride, stride), padding="VALID",
+            filters, (kernel, kernel), strides=(stride, stride), padding=pad_arg,
             use_bias=False, feature_group_count=max(1, groups),
             dtype=self.cfg.dtype, name=name + "conv",
         )(x)

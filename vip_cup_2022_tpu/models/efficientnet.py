@@ -70,9 +70,10 @@ class EfficientNetConfig(ModelConfig):
 def _conv_nb(parent, x, filters, kernel, stride, torch_mode, name, dtype):
     """conv2d_no_bias with kecam padding semantics (common_layers.py:230-250)."""
     if torch_mode and kernel // 2 > 0:
+        # explicit (lo, hi) conv padding instead of a materialized jnp.pad
+        # copy (XLA folds it into the conv window; same zeros)
         pad = kernel // 2
-        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        padding = "VALID"
+        padding = ((pad, pad), (pad, pad))
     else:
         padding = "SAME" if kernel > 1 or stride > 1 else "VALID"
     return nn.Conv(
@@ -136,8 +137,7 @@ class EfficientNet(nn.Module):
                 if not fused:
                     if cfg.is_torch_mode and ksize // 2 > 0:
                         p = ksize // 2
-                        x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-                        pad = "VALID"
+                        pad = ((p, p), (p, p))
                     else:
                         pad = "SAME"
                     from ..ops.conv import apply_depthwise_conv

@@ -61,9 +61,13 @@ class NFNet(nn.Module):
     def _conv(self, x, filters, kernel, stride, gamma, name, groups=1):
         cfg = self.cfg
         if cfg.torch_padding and kernel > 1:
+            # torch symmetric k//2 padding, expressed as the conv's own
+            # explicit (lo, hi) padding — identical zeros, but XLA folds it
+            # into the convolution window instead of materializing a padded
+            # copy (profiled 1.3 ms of pads + 1.4 ms of copies per
+            # ECA_NFNetL0 forward for the jnp.pad form)
             p = kernel // 2
-            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-            padding = "VALID"
+            padding = ((p, p), (p, p))
         else:
             padding = "SAME" if kernel > 1 else "VALID"
         return ScaledStdConv(
