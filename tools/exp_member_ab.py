@@ -65,6 +65,8 @@ VARIANTS = {
     # single-program kernel (two fewer HBM round-trips of the token array
     # per block + no inter-kernel XLA reshape glue)
     "gcvit_mono0": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_MONO": "0"}),
+    # stem/downsample dw 3x3 convs on the block-diagonal MXU lowering
+    "gcvit_bdiag": ("GCViTTiny", (224, 224), {}, {"VIPTPU_DW_BLOCKDIAG": "1"}),
     # classic p/sum(p) softmax (the pre-round-3b shape) — control for the
     # MXU-sum ones-column softmax that is now the default
     "gcvit_sm_div": ("GCViTTiny", (224, 224), {},
