@@ -256,3 +256,43 @@ class TestPolyGelu:
         out = fused_convnext_block(x, *args, gelu="poly", interpret=True)
         ref = helper._reference(x, args, C)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+class TestPallasLayerNorm:
+    def test_matches_reference(self):
+        """Fused one-pass LN kernel == the module's f32 two-pass form."""
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.norms import _pallas_ln2, _ref_ln
+
+        rng = np.random.RandomState(0)
+        for m, c, dt in [(35, 96, jnp.float32), (64, 64, jnp.bfloat16),
+                         (1000, 256, jnp.bfloat16)]:
+            x = jnp.asarray(rng.randn(m, c) * 2 + 0.5, dt)
+            g = jnp.asarray(rng.randn(c) * 0.3 + 1, jnp.float32)
+            b = jnp.asarray(rng.randn(c) * 0.2, jnp.float32)
+            got = _pallas_ln2(x, g, b, 1e-6, interpret=True)
+            ref = _ref_ln(x, g, b, 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                atol=2e-3 if dt == jnp.bfloat16 else 1e-6)
+
+    def test_backward_is_reference_grad(self):
+        """custom_vjp backward == jax.grad of the reference LN (training
+        path correctness; the pallas forward is inference-only math)."""
+        import jax
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.norms import _bwd, _ref_ln
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(6, 32), jnp.float32)
+        g = jnp.asarray(rng.randn(32) * 0.2 + 1, jnp.float32)
+        b = jnp.asarray(rng.randn(32) * 0.1, jnp.float32)
+        dy = jnp.asarray(rng.randn(6, 32), jnp.float32)
+        got = _bwd(1e-6, (x, g, b), dy)
+        _, vjp = jax.vjp(lambda a, c, d: _ref_ln(a, c, d, 1e-6), x, g, b)
+        ref = vjp(dy)
+        for got_i, ref_i in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i),
+                                       atol=1e-6)

@@ -12,6 +12,7 @@ Statistics are computed in float32 regardless of compute dtype (TPU policy).
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -86,6 +87,31 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         ch = x.shape[-1]
+        if (
+            x.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and not self.is_initializing()
+            and os.environ.get("VIPTPU_PALLAS_LN", "0") == "1"
+        ):
+            # NEGATIVE RESULT, default OFF: one pallas pass instead of
+            # XLA's convert/reduce/apply fusions measured -23% ConvNeXt /
+            # -15% GCViT at member level (v5e, 256-batch) — the custom call
+            # is a fusion BARRIER, so the surrounding convs/residuals lose
+            # their LN epilogue/prologue fusions, costing more than the
+            # saved passes. Kept for shapes where a standalone LN is truly
+            # unfused; custom_vjp keeps training gradients on the
+            # reference path. CPU/f32 (parity oracles) never take this.
+            from .pallas.norms import fused_layernorm
+
+            init = (nn.initializers.zeros if self.zero_gamma
+                    else nn.initializers.ones)
+            gamma = (self.param("gamma", init, (ch,), self.param_dtype)
+                     if self.use_scale else jnp.ones((ch,), jnp.float32))
+            beta = (self.param("beta", nn.initializers.zeros, (ch,),
+                               self.param_dtype)
+                    if self.use_bias else jnp.zeros((ch,), jnp.float32))
+            out = fused_layernorm(x, gamma, beta, self.epsilon)
+            return out.astype(self.dtype or x.dtype)
         if x.dtype == jnp.bfloat16:
             # E[x^2]-E[x]^2 stats: every pass (both reduces and the apply)
             # consumes the bf16 input directly, so XLA fuses the f32 convert
