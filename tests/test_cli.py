@@ -366,3 +366,37 @@ def test_export_artifact_roundtrip(tmp_path):
     # the artifact's weights, not the live pytree: proves self-containment
     art_out = call(weights, u8, key)
     np.testing.assert_allclose(np.asarray(art_out), np.asarray(live), atol=1e-6)
+
+
+def test_fused_ensemble_fuse_bn_env(multi_workspace, monkeypatch):
+    """VIPTPU_FUSE_BN folds conv->BN pairs at weight-load time; raw ensemble
+    probabilities must match the unfused program (fp tolerance)."""
+    import vip_cup_2022_tpu.infer.engine as eng
+    from vip_cup_2022_tpu.core.config import Config
+    from vip_cup_2022_tpu.infer.engine import EnsembleEngine, load_manifest
+
+    monkeypatch.setattr(eng, "registry_name", _mini_registry(monkeypatch))
+    monkeypatch.setenv("VIPTPU_MAX_BATCH", "8")
+    root, input_csv, names = multi_workspace
+
+    cfg = Config({})
+    cfg.test_csv = str(input_csv)
+    cfg.infer_path = str(input_csv.parent)
+    cfg.output_csv_path = str(root / "bnfused.csv")
+    cfg.debug = 0
+    cfg.verbose = 0
+    cfg.tta = 1
+    cfg.agg = "mean"
+    cfg.seed = 42
+    cfg.thr = 0.487
+    cfg.ckpt_cfg = load_manifest(str(root / "ckpts"), str(root / "ckpts" / "ckpts.json"))
+
+    engine = EnsembleEngine(verbose=0)
+    base = engine.predict_soln_fused(cfg)
+    monkeypatch.setenv("VIPTPU_FUSE_BN", "all")
+    engine2 = EnsembleEngine(verbose=0)
+    fused = engine2.predict_soln_fused(cfg)
+    merged = base.merge(fused, on="filename", suffixes=("_b", "_f"))
+    np.testing.assert_allclose(
+        merged["raw_b"].values, merged["raw_f"].values, atol=2e-5
+    )

@@ -243,6 +243,29 @@ class EnsembleEngine:
             return {"*"}
         return {s.strip() for s in env.split(",") if s.strip()}
 
+    @staticmethod
+    def _fuse_bn_member(name: str) -> bool:
+        """VIPTPU_FUSE_BN: '' (off), '1'/'all', or a comma list of registry
+        names. Folds every conv->BN pair into the conv weights at load time
+        (utils/surgery.fuse_all_conv_bn). XLA already folds inference BN
+        into the conv epilogue for plain residual CNNs (measured ~0 on
+        ResNetRS50), but it CANNOT when a concat/split sits between conv
+        and BN — ResNest50 measured +2% fused (NOTES_r3)."""
+        env = os.environ.get("VIPTPU_FUSE_BN", "").strip()
+        if not env:
+            return False
+        if env.lower() in ("1", "all", "true"):
+            return True
+        return name in {s.strip() for s in env.split(",")}
+
+    def _fuse_bn(self, variables, name: str):
+        from ..utils.surgery import fuse_all_conv_bn
+
+        fused, pairs = fuse_all_conv_bn(variables)
+        if self.verbose and pairs:
+            print(f"> FUSE_BN {name}: folded {len(pairs)} conv->BN pairs")
+        return fused
+
     def _calibrate_member(self, module, variables, dim, calib_u8):
         """One-batch jitted calibration pass: returns the per-site activation
         abs-max table for quant/ptq.quantized. Runs as ONE compiled program
@@ -420,12 +443,16 @@ class EnsembleEngine:
                         overrides = json.load(fh)
                     overrides.pop("input_size", None)
             module, variables, _ = self._create_member(name, dim, overrides)
+            fuse_bn = self._fuse_bn_member(name)
             fold_vars = []
             for ckpt in sorted(ckpt_paths):
-                loaded = load_weights(ckpt, name)
-                fold_vars.append(self._place(transfer_weights(loaded, variables)))
+                loaded = transfer_weights(load_weights(ckpt, name), variables)
+                if fuse_bn:
+                    loaded = self._fuse_bn(loaded, name)
+                fold_vars.append(self._place(loaded))
             if not fold_vars:  # random-init (allow_missing) member
-                fold_vars = [self._place(variables)]
+                v0 = self._fuse_bn(variables, name) if fuse_bn else variables
+                fold_vars = [self._place(v0)]
             members.append((module, tuple(dim)))
             all_variables.append(fold_vars)
 
