@@ -141,7 +141,7 @@ def print_op_table(logdir: str, iters: int, top: int, group: bool,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("member", choices=sorted(MEMBERS))
+    ap.add_argument("member", choices=sorted(MEMBERS) + ["ensemble"])
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--top", type=int, default=40)
@@ -161,14 +161,25 @@ def main():
     except Exception:
         cpu = jax.devices()[0]
     device = jax.devices()[0]
-    name, dim = MEMBERS[args.member]
     engine = EnsembleEngine(verbose=0, compute_dtype=dt)
-    with jax.default_device(cpu):
-        module, variables, _ = create_model(
-            name, input_size=dim, nb_classes=1,
-            classifier_activation="sigmoid", dtype=dt)
-    fv = [[jax.device_put(variables, device)]]
-    one = engine.build_fused_ensemble([(module, dim)], tta=1)
+    if args.member == "ensemble":
+        # the full fused 7-member production program: attributes the engine
+        # glue (shared resize/cast, aggregation) and inter-member fusions
+        # that per-member profiles can't see
+        specs = [MEMBERS[k] for k in
+                 ("convnext", "resnest", "gcvit", "effv2t", "effb4",
+                  "nfnet", "resnetrs")]
+    else:
+        specs = [MEMBERS[args.member]]
+    members, fv = [], []
+    for name, dim in specs:
+        with jax.default_device(cpu):
+            module, variables, _ = create_model(
+                name, input_size=dim, nb_classes=1,
+                classifier_activation="sigmoid", dtype=dt)
+        members.append((module, dim))
+        fv.append([jax.device_put(variables, device)])
+    one = engine.build_fused_ensemble(members, tta=1)
     key = jax.random.PRNGKey(0)
 
     mk = jax.jit(lambda k: jax.random.randint(

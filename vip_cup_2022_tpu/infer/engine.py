@@ -323,12 +323,19 @@ class EnsembleEngine:
 
         def forward(all_variables, u8, rng):
             x0 = u8.astype(jnp.float32) / 255.0
+            # one resize per DISTINCT member size (GCViT + EffV1B4 share 224)
+            by_dim = {}
+            for _, dim in specs:
+                if dim not in by_dim:
+                    by_dim[dim] = (
+                        resize(x0, dim, method="bicubic")
+                        if dim != NATIVE_SIZE else x0
+                    ).astype(compute_dtype)
             preds = []
             for (module, dim), apply_fn, fold_vars in zip(
                 specs, applies, all_variables
             ):
-                x = resize(x0, dim, method="bicubic") if dim != NATIVE_SIZE else x0
-                x = x.astype(compute_dtype)
+                x = by_dim[dim]
                 fold_preds = []
                 for variables in fold_vars:
                     if tta > 1:
