@@ -118,6 +118,14 @@ VARIANTS = {
     # "_int8" PTQ-interceptor variants above, which only reach nn.Conv/Dense
     "convnext_int8k": ("convnext_tiny_in22k", (200, 200), {},
                        {"VIPTPU_INT8_KERNELS": "1"}),
+    # batch-lane positions-per-step fold sweep: tp*B is the lane-concat
+    # GEMM's N. tp=16 doubles N at s1 (hidden=384: f32 scratch 6.3 MB);
+    # the VMEM guard in fused_ln_mlp_residual_batchlane keeps s2 at its
+    # default when the scratch would exceed the budget.
+    "convnext_tp16": ("convnext_tiny_in22k", (200, 200), {},
+                      {"VIPTPU_BATCHLANE_TP": "16"}),
+    "convnext_tp4": ("convnext_tiny_in22k", (200, 200), {},
+                     {"VIPTPU_BATCHLANE_TP": "4"}),
 }
 
 

@@ -165,13 +165,23 @@ class GCViTBlock(nn.Module):
     path_drop: float
 
     @nn.compact
-    def __call__(self, x, q_global=None, training: bool = False):
+    def __call__(self, x, q_global=None, training: bool = False,
+                 windowed: bool = False):
         cfg = self.cfg
-        b, h, w, c = x.shape
         ws = self.window_size
 
+        if windowed:
+            # x is already window-partitioned tokens (B, nWin*N, C): the
+            # level hoists partition/reverse outside its block loop (the
+            # per-block round trip was ~0.5 ms/block at L1 — pure layout
+            # copies that cancel between consecutive blocks)
+            return self._fused_tokens(x, q_global)
+        b, h, w, c = x.shape
+
         if _use_fused_block(cfg, training) and not self.is_initializing():
-            return self._fused(x, q_global)
+            xw = window_partition(x, ws).reshape(b, -1, c)
+            out = self._fused_tokens(xw, q_global)
+            return window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
 
         shortcut = x
         y = LayerNorm(epsilon=1e-5, name="norm1")(x)
@@ -205,9 +215,10 @@ class GCViTBlock(nn.Module):
         x = x + DropPath(self.path_drop, name="drop_path2")(gamma2 * m, training=training)
         return x
 
-    def _fused(self, x, q_global):
-        """Whole-block fused Pallas pipeline (inference; params already exist
-        during apply — init always runs the Flax path above, creating them).
+    def _fused_tokens(self, xw, q_global):
+        """Whole-block fused Pallas pipeline on window-partitioned tokens
+        (B, nWin*N, C) -> same shape (inference; params already exist during
+        apply — init always runs the Flax path above, creating them).
         See ops/pallas/gcvit_block.py for the kernel structure.
 
         VIPTPU_GCVIT_MM=bf16|f32 overrides the kernels' GEMM dtype (default:
@@ -221,7 +232,7 @@ class GCViTBlock(nn.Module):
         from ..ops.pallas.gcvit_block import fused_window_transformer_block
 
         cfg = self.cfg
-        b, h, w, c = x.shape
+        c = xw.shape[-1]
         ws = self.window_size
         p = self.variables["params"]
         attn = p["attn"]
@@ -236,8 +247,7 @@ class GCViTBlock(nn.Module):
         gamma1 = p.get("gamma1") if cfg.layer_scale is not None else None
         gamma2 = p.get("gamma2") if cfg.layer_scale is not None else None
 
-        xw = window_partition(x, ws).reshape(b, -1, c)  # (B, nWin*N, C)
-        out = fused_window_transformer_block(
+        return fused_window_transformer_block(
             xw,
             heads=self.num_heads,
             n=ws * ws,
@@ -255,7 +265,6 @@ class GCViTBlock(nn.Module):
                 os.environ.get("VIPTPU_GCVIT_MM", "")),
             interpret=jax.default_backend() != "tpu",
         )
-        return window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
 
 
 class GCViTLevel(nn.Module):
@@ -291,6 +300,15 @@ class GCViTLevel(nn.Module):
         # q_global: (B, ws, ws, C) -> (B, N, C)
         q_global_tokens = q_global.reshape(b, ws * ws, c)
 
+        # fused inference path: partition ONCE per level and run every block
+        # on window tokens — per-block partition/reverse between consecutive
+        # blocks are pure layout copies that cancel (profiled ~7.7 ms of
+        # reshape/copy glue per GCViTTiny forward before the hoist)
+        hoist = (_use_fused_block(self.cfg, training)
+                 and not self.is_initializing())
+        hp, wp = h + h_pad, w + w_pad
+        if hoist:
+            x = window_partition(x, ws).reshape(b, -1, c)
         for i in range(self.depth):
             blk = GCViTBlock(
                 self.cfg,
@@ -300,7 +318,10 @@ class GCViTLevel(nn.Module):
                 path_drop=self.path_drops[i],
                 name=f"blocks_{i}",
             )
-            x = blk(x, q_global=q_global_tokens if i % 2 else None, training=training)
+            x = blk(x, q_global=q_global_tokens if i % 2 else None,
+                    training=training, windowed=hoist)
+        if hoist:
+            x = window_reverse(x.reshape(-1, ws, ws, c), ws, hp, wp)
 
         x = x[:, :h, :w, :]  # crop back (level.py:61-63)
         if self.downsample:

@@ -423,6 +423,13 @@ def fused_ln_mlp_residual_batchlane(
     x2 = dw_out.reshape(n, c, b)
     r2 = residual.reshape(n, c, b)
     hidden = w1.shape[1]
+    # VIPTPU_BATCHLANE_TP overrides the positions-per-grid-step fold (the
+    # lane-concat GEMM's N = tp*B); the default 8 keeps the f32 hidden
+    # scratch (hidden, tp*B) within ~6.5 MB at s2's hidden=768. Larger tp
+    # at s1 (hidden=384) doubles N for the same scratch.
+    env_tp = int(os.environ.get("VIPTPU_BATCHLANE_TP", "0"))
+    if env_tp and hidden * env_tp * b * 4 <= 13 * 2**20:
+        row_tile = env_tp  # ragged final tile handled by the cdiv grid
     col = lambda a: jnp.asarray(a, jnp.float32)[:, None]  # noqa: E731
     kern = functools.partial(
         _lnmlp_batchlane_kernel, tp=row_tile, eps=eps,
