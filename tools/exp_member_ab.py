@@ -126,6 +126,28 @@ VARIANTS = {
                       {"VIPTPU_BATCHLANE_TP": "16"}),
     "convnext_tp4": ("convnext_tiny_in22k", (200, 200), {},
                      {"VIPTPU_BATCHLANE_TP": "4"}),
+    # scoped-VMEM raise (v5e has 128 MB physical; default scoped limit
+    # ~16 MB): compiler_options travels with the jitted program, and
+    # VIPTPU_VMEM_MB scales the pallas fold/tile budget models so deeper
+    # image folds (bigger GEMM M) become legal. Risk: XLA's own fusions
+    # also get more scratch, which can shift its heuristics either way.
+    "convnext_vmem64": ("convnext_tiny_in22k", (200, 200), {}, {
+        "VIPTPU_COMPILER_OPTIONS": "xla_tpu_scoped_vmem_limit_kib=65536",
+        "VIPTPU_VMEM_MB": "64"}),
+    "convnext_vmem32": ("convnext_tiny_in22k", (200, 200), {}, {
+        "VIPTPU_COMPILER_OPTIONS": "xla_tpu_scoped_vmem_limit_kib=32768",
+        "VIPTPU_VMEM_MB": "32"}),
+    # raise the XLA limit only (pallas budgets untouched): isolates the
+    # XLA-fusion effect from the deeper-fold effect
+    "convnext_vmem64x": ("convnext_tiny_in22k", (200, 200), {}, {
+        "VIPTPU_COMPILER_OPTIONS": "xla_tpu_scoped_vmem_limit_kib=65536"}),
+    "gcvit_vmem64": ("GCViTTiny", (224, 224), {}, {
+        "VIPTPU_COMPILER_OPTIONS": "xla_tpu_scoped_vmem_limit_kib=65536",
+        "VIPTPU_VMEM_MB": "64"}),
+    "gcvit_vmem64x": ("GCViTTiny", (224, 224), {}, {
+        "VIPTPU_COMPILER_OPTIONS": "xla_tpu_scoped_vmem_limit_kib=65536"}),
+    "effb4_vmem64x": ("EfficientNetV1B4", (224, 224), {}, {
+        "VIPTPU_COMPILER_OPTIONS": "xla_tpu_scoped_vmem_limit_kib=65536"}),
 }
 
 

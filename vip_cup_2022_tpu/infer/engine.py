@@ -62,6 +62,24 @@ NAME2BS: Dict[str, int] = {
 NATIVE_SIZE = (200, 200)  # competition eval input spec (README.md:69)
 
 
+def compiler_options() -> Optional[Dict[str, str]]:
+    """VIPTPU_COMPILER_OPTIONS: comma-separated k=v backend compile options
+    attached to the engine's jitted programs (they travel with the
+    computation, so TPU-only flags work through the axon tunnel where
+    XLA_FLAGS cannot — the local flag parser rejects unknown TPU flags).
+    Example: VIPTPU_COMPILER_OPTIONS=xla_tpu_scoped_vmem_limit_kib=65536
+    (pair with VIPTPU_VMEM_MB=64 so the pallas fold pickers use it)."""
+    env = os.environ.get("VIPTPU_COMPILER_OPTIONS", "").strip()
+    if not env:
+        return None
+    opts: Dict[str, str] = {}
+    for kv in env.split(","):
+        k, _, v = kv.partition("=")
+        if k.strip():
+            opts[k.strip()] = v.strip()
+    return opts
+
+
 def _agg_fn(agg: str):
     """jnp reduction for the reference's ``getattr(np, CFG.agg)`` semantics
     (main.py:111, :121)."""
@@ -224,7 +242,8 @@ class EnsembleEngine:
                 return agg_fn(preds.astype(jnp.float32), axis=0)
             return module.apply(variables, x).astype(jnp.float32)
 
-        return jax.jit(forward, in_shardings=(None, batch_sharding(self.mesh), None))
+        return jax.jit(forward, in_shardings=(None, batch_sharding(self.mesh), None),
+                       compiler_options=compiler_options())
 
     # ------------------------------------------------------------------
     # int8 quantized inference (quant/ptq.py; VIPTPU_INT8)
@@ -357,9 +376,10 @@ class EnsembleEngine:
             # unsharded program: what the relocatable serving artifact
             # exports (a per-chip program, replicated by the serving layer —
             # reference per-replica predict split, main.py:106-109)
-            return jax.jit(forward)
+            return jax.jit(forward, compiler_options=compiler_options())
         return jax.jit(
-            forward, in_shardings=(None, batch_sharding(self.mesh), None)
+            forward, in_shardings=(None, batch_sharding(self.mesh), None),
+            compiler_options=compiler_options(),
         )
 
     # ------------------------------------------------------------------

@@ -106,6 +106,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def vmem_scale() -> float:
+    """Scale factor for the kernels' VMEM budget models. The fold/tile
+    pickers were tuned against the default ~16 MB scoped-VMEM limit;
+    launching with XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=<K> and
+    VIPTPU_VMEM_MB=<K/1024> scales every budget proportionally so deeper
+    image folds (bigger MXU GEMMs) become legal. v5e has 128 MB of VMEM
+    total; the scoped limit is what pallas programs may address."""
+    return float(os.environ.get("VIPTPU_VMEM_MB", "16")) / 16.0
+
+
 def int8_kernels_enabled() -> bool:
     """VIPTPU_INT8_KERNELS=1 runs the fused ConvNeXt kernels' MLP GEMMs on
     the MXU int8 path (s8 x s8 -> s32, ~2.8x the bf16 dot rate — measured
@@ -140,7 +150,7 @@ def _dyn_quant(y: jax.Array):
 def _pick_row_tile(h: int, w: int, c: int, hidden: int) -> int:
     """Largest row tile whose f32 temporaries fit a ~4 MB scratch budget
     (the full image block + weights occupy VMEM separately)."""
-    budget = 4 * 1024 * 1024
+    budget = int(4 * 1024 * 1024 * vmem_scale())
     best = 1
     for t in range(1, h + 1):
         acc = t * w * c * 4            # f32 dw/LN accumulator
@@ -169,7 +179,7 @@ def _pick_fold(bsz: int, h: int, w: int, cp: int, hp_: int,
     math, same total FLOPs. Returns the (g, th, n_split) with the largest M,
     tie-broken toward fewer splits; (1, th, 1) when folding doesn't help or
     bsz isn't divisible."""
-    limit = 13 * 1024 * 1024
+    limit = int(13 * 1024 * 1024 * vmem_scale())
     w_bytes = (cp * hp_ + hp_ * cp) * (w_itemsize or itemsize) \
         + (hp_ + 3 * cp) * 4
     best = (1, _pick_row_tile(h, w, cp, hp_), 1)
@@ -428,7 +438,7 @@ def fused_ln_mlp_residual_batchlane(
     # scratch (hidden, tp*B) within ~6.5 MB at s2's hidden=768. Larger tp
     # at s1 (hidden=384) doubles N for the same scratch.
     env_tp = int(os.environ.get("VIPTPU_BATCHLANE_TP", "0"))
-    if env_tp and hidden * env_tp * b * 4 <= 13 * 2**20:
+    if env_tp and hidden * env_tp * b * 4 <= 13 * 2**20 * vmem_scale():
         row_tile = env_tp  # ragged final tile handled by the cdiv grid
     col = lambda a: jnp.asarray(a, jnp.float32)[:, None]  # noqa: E731
     kern = functools.partial(

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from .convnext_block import _gelu, gelu_flavor
+from .convnext_block import _gelu, gelu_flavor, vmem_scale
 
 
 def _aligned(*dims: int) -> bool:
@@ -638,7 +638,12 @@ def mono_window_transformer_block(
 def _pick_group(nwin: int, n: int, cap: int = 512) -> int:
     """Largest window-group with G*N rows per program under ``cap`` and
     8-divisible (Mosaic second-to-last-dim rule; G=1 is always legal as the
-    degenerate full-dim case)."""
+    degenerate full-dim case). VIPTPU_GCVIT_CAP overrides the row cap (the
+    masked GEMM's off-diagonal FLOP waste grows with G, so bigger is not
+    automatically better — G=16 measured worse than G=8 at L1)."""
+    import os as _os
+
+    cap = int(_os.environ.get("VIPTPU_GCVIT_CAP", "0")) or cap
     g = 1
     for cand in range(1, nwin + 1):
         if nwin % cand == 0 and cand * n <= cap and (cand * n) % 8 == 0:
@@ -702,7 +707,7 @@ def fused_window_transformer_block(
                 return heads * (f * n) ** 2 * 4 + qkv
             return heads * n * n * 4 + 2 * f * n * n * 4 + qkv
 
-        while fold > 1 and _attn_vmem(fold) > 6 * 2 ** 20:
+        while fold > 1 and _attn_vmem(fold) > 6 * 2 ** 20 * vmem_scale():
             nxt = 1
             for cand in range(1, fold):
                 if b % cand == 0 and (cand * n) % 8 == 0:
@@ -732,7 +737,7 @@ def fused_window_transformer_block(
             toks, c, w1.shape[1], heads, g * n,
             3 if q_global is None else 2,
             jnp.dtype(x_win.dtype).itemsize,
-        ) <= 11 * 2 ** 20
+        ) <= 11 * 2 ** 20 * vmem_scale()
     ):
         out = mono_window_transformer_block(
             x_win, heads=heads, n=n, ln1_g=ln1_g, ln1_b=ln1_b,
