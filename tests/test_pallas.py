@@ -221,6 +221,59 @@ class TestFusedGCViTBlock:
         ref = ref.reshape(b, nwin * n, c)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_masked_synth_bias_matches_dense(self, monkeypatch):
+        """The in-kernel synthesized bias (per-window (n, n) input, g x g
+        tiling + iota block mask built in-register) must match the
+        precomputed dense (gN, gN) masked-bias path exactly — it is what
+        unlocks the deep single-window batch folds (L4 fold=8's dense block
+        is 9.8 MB of VMEM; synth is 153 KB + a transient tile)."""
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.gcvit_block import (
+            grouped_window_attention,
+        )
+
+        rng = np.random.RandomState(7)
+        b, nwin, n, heads, hd = 2, 8, 9, 2, 8
+        c = heads * hd
+        mk = lambda: jnp.asarray(
+            rng.uniform(-1, 1, (b, nwin * n, c)).astype(np.float32))
+        q, k, v = mk(), mk(), mk()
+        bias = jnp.asarray(
+            rng.uniform(-1, 1, (heads, n, n)).astype(np.float32))
+        scale = hd ** -0.5
+
+        kw = dict(heads=heads, bias=bias, scale=scale, group=4,
+                  mode="masked", interpret=True)
+        monkeypatch.setenv("VIPTPU_GCVIT_BIAS", "dense")
+        dense = grouped_window_attention(q, k, v, n=n, **kw)
+        monkeypatch.setenv("VIPTPU_GCVIT_BIAS", "synth")
+        synth = grouped_window_attention(q, k, v, n=n, **kw)
+        np.testing.assert_allclose(
+            np.asarray(synth), np.asarray(dense), atol=1e-6)
+
+    def test_model_fold_synth_matches_flax(self, monkeypatch):
+        """Whole GCViT model with forced synth bias at every grouped level ==
+        the unfused flax model (the production gate at the folded L3/L4
+        levels takes exactly this path once the dense block exceeds the
+        budget), covering local + global-query blocks and the batch fold."""
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.models import create_model
+
+        monkeypatch.setenv("VIPTPU_GCVIT_BIAS", "synth")
+        kw = dict(
+            input_size=(224, 224), nb_classes=3, depths=(2, 1, 1, 1), dim=16,
+            num_heads=(1, 2, 4, 8),
+        )
+        m1, v1, _ = create_model("gcvit_xxtiny", fused_block=True, **kw)
+        m0, _, _ = create_model("gcvit_xxtiny", fused_block=False, init=False, **kw)
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 224, 224, 3)).astype(np.float32))
+        y1 = m1.apply(v1, x)
+        y0 = m0.apply(v1, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+
 
 class TestPolyGelu:
     """The 'poly' GELU flavor (clamped odd-polynomial erf, pure FMAs — no

@@ -146,6 +146,28 @@ VARIANTS = {
         "VIPTPU_VMEM_MB": "64"}),
     "gcvit_vmem64x": ("GCViTTiny", (224, 224), {}, {
         "VIPTPU_COMPILER_OPTIONS": "xla_tpu_scoped_vmem_limit_kib=65536"}),
+    # synth-bias era A/B: 'dense' restores the pre-synth default (bias as a
+    # precomputed (gN, gN) VMEM block -> L4 fold capped at 1, L3 mono
+    # ineligible); plain gcvit now auto-synthesizes at L3/L4 (fold=8 at L4,
+    # mono at the folded L3)
+    "gcvit_biasdense": ("GCViTTiny", (224, 224), {},
+                        {"VIPTPU_GCVIT_BIAS": "dense"}),
+    # deeper folds under the raised row cap: L3 folds 4 (784-row GEMMs),
+    # L4 folds 16 — prices the masked GEMM's off-diagonal FLOP waste vs
+    # larger-tile utilization at the next level up
+    "gcvit_cap1024": ("GCViTTiny", (224, 224), {},
+                      {"VIPTPU_GCVIT_CAP": "1024"}),
+    # bf16-square LN stats: removes the CSE-materialized f32 convert shared
+    # between E[x^2] and the LN apply (profiled 2.3 + 1.15 ms standalone
+    # converts at ConvNeXt's s1->s2 / s2->s3 boundaries)
+    "convnext_lnsq": ("convnext_tiny_in22k", (200, 200), {},
+                      {"VIPTPU_LN_BF16_SQ": "1"}),
+    "gcvit_lnsq": ("GCViTTiny", (224, 224), {},
+                   {"VIPTPU_LN_BF16_SQ": "1"}),
+    # bisect the synth-bias loss: budget 6 MB -> only L4 (9.8 MB dense
+    # block) synthesizes + folds 8; L3 stays dense fold=2 pipeline
+    "gcvit_synthl4": ("GCViTTiny", (224, 224), {},
+                      {"VIPTPU_GCVIT_BIAS_BUDGET": str(6 * 2 ** 20)}),
     "effb4_vmem64x": ("EfficientNetV1B4", (224, 224), {}, {
         "VIPTPU_COMPILER_OPTIONS": "xla_tpu_scoped_vmem_limit_kib=65536"}),
 }

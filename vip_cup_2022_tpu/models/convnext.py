@@ -15,6 +15,7 @@ convolution unit; LN stats in f32.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -206,8 +207,16 @@ class ConvNeXt(nn.Module):
                     # 99x99x96x256 for the two-pass jnp.var form)
                     mean = jnp.mean(x, axis=2, keepdims=True,
                                     dtype=jnp.float32)
-                    ex2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
-                                   axis=2, keepdims=True)
+                    if (x.dtype == jnp.bfloat16 and
+                            os.environ.get("VIPTPU_LN_BF16_SQ", "0") == "1"):
+                        # see ops/norms.py: bf16 square + f32 accumulate
+                        # keeps the apply's x convert single-consumer so it
+                        # fuses instead of materializing (2.3 ms at s1->s2)
+                        ex2 = jnp.mean(jax.lax.square(x), axis=2,
+                                       keepdims=True, dtype=jnp.float32)
+                    else:
+                        ex2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
+                                       axis=2, keepdims=True)
                     inv = jax.lax.rsqrt(ex2 - mean * mean + cfg.norm_eps)
                     y = (x.astype(jnp.float32) - mean) * inv
                     y = y * pn["gamma"][:, None] + pn["beta"][:, None]

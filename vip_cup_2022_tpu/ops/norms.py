@@ -120,8 +120,21 @@ class LayerNorm(nn.Module):
             # jnp.var form). f32-input paths (CPU parity oracles) keep the
             # two-pass form bit-for-bit.
             mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-            ex2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
-                           axis=-1, keepdims=True)
+            if os.environ.get("VIPTPU_LN_BF16_SQ", "0") == "1":
+                # square in bf16, accumulate in f32: removes the last
+                # explicit x.astype(f32) shared between ex2 and the apply,
+                # which XLA CSEs into a materialized full f32 copy
+                # (profiled: standalone 2.3 ms convert at ConvNeXt's
+                # 99x99x96x256 s1->s2 boundary). Stats precision drops to
+                # ~2^-9 relative on var — below the bf16 output rounding.
+                # NEGATIVE RESULT, default off: member A/B measured a tie
+                # (convnext 2,062 vs 2,073; gcvit 3,174 vs 3,212) — XLA
+                # re-fuses the saved convert's cost elsewhere.
+                ex2 = jnp.mean(jax.lax.square(x), axis=-1, keepdims=True,
+                               dtype=jnp.float32)
+            else:
+                ex2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
+                               axis=-1, keepdims=True)
             var = jnp.maximum(ex2 - mean * mean, 0.0)
             xf = x.astype(jnp.float32)
         else:

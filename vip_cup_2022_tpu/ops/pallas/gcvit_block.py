@@ -37,6 +37,7 @@ path, whose gradients XLA derives.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -147,8 +148,54 @@ def _masked_bias(bias, g, n):
     return tiled * eye + (1.0 - eye) * -1e9
 
 
+def _bias_synth(heads: int, g: int, n: int) -> bool:
+    """Whether the masked kernels synthesize the (gN, gN) bias+mask tile
+    in-register from the per-window (n, n) bias instead of loading it as a
+    precomputed VMEM block. The dense block costs heads*(gN)^2 f32 bytes
+    resident per program — 9.8 MB at L4 fold=8, which is what reverted the
+    round-3 L4 batch-fold — while synthesis costs one transient (gN, gN)
+    tile of concats + an iota-compare select per head. Dense stays the
+    default at small blocks (measured free at L1: the bias add rides the
+    score GEMM epilogue); synthesis engages when the dense block passes
+    VIPTPU_GCVIT_BIAS_BUDGET (bytes). NEGATIVE RESULT, default effectively
+    off (budget 1 GB): the deeper folds synthesis unlocks LOSE at member
+    level on v5e — same-session A/B 3,391 img/s dense vs 3,212 synth
+    (budget 3 MB: L4 fold=8 + L3 mono) and 3,324 L4-only (budget 6 MB) —
+    the masked GEMM's off-diagonal FLOP waste at fold=8 plus the in-kernel
+    tiling concats outrun the VMEM saving in the post-mono, MXU-softmax
+    kernel era (the round-3-early "+4% L4 fold" predated both).
+    VIPTPU_GCVIT_BIAS=dense|synth forces either mode."""
+    if g <= 1:
+        return False
+    force = os.environ.get("VIPTPU_GCVIT_BIAS", "")
+    if force == "dense":
+        return False
+    if force == "synth":
+        return True
+    budget = int(os.environ.get("VIPTPU_GCVIT_BIAS_BUDGET",
+                                str(2 ** 30)))
+    return heads * (g * n) ** 2 * 4 > budget
+
+
+def _apply_masked_bias(s, mb_h, g, n, synth):
+    """Add the block-diagonal masked rel-pos bias to a (gN, gN) f32 score
+    tile inside a kernel. synth=False: ``mb_h`` is the precomputed
+    (gN, gN) bias+mask tile. synth=True: ``mb_h`` is the per-window (n, n)
+    bias; the g x g tiling is built with row/column concats and the
+    off-diagonal -1e9 mask from an iota window-index compare — no
+    O((gN)^2) kernel input."""
+    if not synth or g == 1:
+        return s + mb_h
+    gn = g * n
+    row = jnp.concatenate([mb_h] * g, axis=0)           # (gN, n)
+    full = jnp.concatenate([row] * g, axis=1)           # (gN, gN)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (gn, gn), 0) // n
+    ci = jax.lax.broadcasted_iota(jnp.int32, (gn, gn), 1) // n
+    return jnp.where(ri == ci, s + full, -1e9)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
-                 mm_dtype=jnp.float32, wpp=1):
+                 mm_dtype=jnp.float32, wpp=1, synth=False):
     # wpp = window-GROUPS per program: the per-grid-step fixed cost is the
     # dominant kernel cost at L1 (tools/exp_attn_parts.py: empty-kernel
     # floor 1.96 ms of the 3.52 ms total across 2048 steps), so each
@@ -184,7 +231,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                         # (gN, gN)
-            s = s + mb_ref[h]
+            s = _apply_masked_bias(s, mb_ref[h], g, n, synth)
             s = s - jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s)
             vh = vfull[:, h * hd : (h + 1) * hd].astype(mm_dtype)
@@ -289,7 +336,10 @@ def _pick_wpp(nwg: int, g: int, n: int, c: int, heads: int,
     double-buffered qkv+out blocks and masked bias stay under ~7 MB of
     VMEM. Fewer, fatter grid steps — the per-step fixed cost dominates the
     attention kernel at L1 (exp_attn_parts: 1.96 ms empty floor of 3.52)."""
-    bias_bytes = heads * (g * n) ** 2 * 4
+    if _bias_synth(heads, g, n):
+        bias_bytes = heads * n * n * 4 + (g * n) ** 2 * 4  # input + synth tile
+    else:
+        bias_bytes = heads * (g * n) ** 2 * 4
     best = 1
     for cand in range(1, nwg + 1):
         if nwg % cand:
@@ -331,11 +381,18 @@ def grouped_window_attention(
         wpp = 1  # per-window kernels handle one group per step
 
     if mode == "masked":
-        mb = _masked_bias(bias, g, n)                 # (heads, gN, gN)
-        bias_spec = pl.BlockSpec((heads, g * n, g * n), lambda b_, wg: (0, 0, 0))
+        synth = _bias_synth(heads, g, n)
+        if synth:
+            mb = jnp.asarray(bias, jnp.float32)       # (heads, N, N)
+            bias_spec = pl.BlockSpec((heads, n, n), lambda b_, wg: (0, 0, 0))
+        else:
+            mb = _masked_bias(bias, g, n)             # (heads, gN, gN)
+            bias_spec = pl.BlockSpec((heads, g * n, g * n),
+                                     lambda b_, wg: (0, 0, 0))
         kern = functools.partial(
             _attn_kernel, scale=scale, g=g, n=n, heads=heads,
             mm_dtype=_mm_dtype(k.dtype, force=force_mm_dtype), wpp=wpp,
+            synth=synth,
         )
     else:
         mb = jnp.asarray(bias, jnp.float32)           # (heads, N, N), no tile
@@ -435,7 +492,7 @@ def proj_res_ln_mlp(
 # monoblock: the WHOLE transformer block in one program per image
 # ---------------------------------------------------------------------------
 def _mono_kernel(*refs, eps, mm_dtype, gelu, scale, g, n, heads, s_comp,
-                 mxu_sum):
+                 mxu_sum, synth=False):
     """LN1 -> qkv GEMM -> grouped masked window attention -> proj +
     layer-scale residual -> LN2 -> MLP -> residual, all on one image's
     window-ordered tokens held in VMEM. Identical math to the three-kernel
@@ -512,7 +569,7 @@ def _mono_kernel(*refs, eps, mm_dtype, gelu, scale, g, n, heads, s_comp,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s = s + mb_ref[h]
+            s = _apply_masked_bias(s, mb_ref[h], g, n, synth)
             s = s - jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s)
             vh = vfull[:, h * hd : (h + 1) * hd].astype(mm_dtype)
@@ -551,13 +608,20 @@ def _mono_kernel(*refs, eps, mm_dtype, gelu, scale, g, n, heads, s_comp,
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _mono_vmem_model(toks, c, hidden, heads, gn, s_comp, itemsize) -> int:
+def _mono_vmem_model(toks, c, hidden, heads, gn, s_comp, itemsize,
+                     n=None) -> int:
     """Rough VMEM bytes for one _mono_kernel program: f32 qkv + bias +
     score tile + residual + f32 MLP hidden + bf16 weights + 2x double-
-    buffered token blocks."""
+    buffered token blocks. When ``n`` is given and the synth-bias policy
+    engages, the resident bias block shrinks to (heads, n, n) plus one
+    transient (gN, gN) synthesis tile."""
+    if n is not None and _bias_synth(heads, gn // n, n):
+        bias_bytes = 4 * heads * n * n + 4 * gn * gn
+    else:
+        bias_bytes = 4 * heads * gn * gn
     return (
         4 * toks * s_comp * c          # qkv (f32 accum)
-        + 4 * heads * gn * gn          # masked bias block (heads, gN, gN)
+        + bias_bytes                   # masked bias block (dense or synth)
         + 4 * gn * gn                  # score tile
         + 4 * toks * c * 2             # xf + r1
         + 4 * toks * hidden            # MLP hidden (f32)
@@ -581,17 +645,21 @@ def mono_window_transformer_block(
     mm_dtype = _mm_dtype(x_win.dtype, force=force_mm_dtype)
     s_comp = 3 if q_global is None else 2
     mxu = softmax_mode() == "mxu"
+    synth = _bias_synth(heads, g, n)
     kern = functools.partial(
         _mono_kernel, eps=eps, mm_dtype=mm_dtype, gelu=gelu_flavor(None),
-        scale=scale, g=g, n=n, heads=heads, s_comp=s_comp, mxu_sum=mxu)
+        scale=scale, g=g, n=n, heads=heads, s_comp=s_comp, mxu_sum=mxu,
+        synth=synth)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     ones = jnp.ones((c,), jnp.float32)
     gamma1 = ones if gamma1 is None else f32(gamma1)
     gamma2 = ones if gamma2 is None else f32(gamma2)
 
     # the dense rel-pos bias + off-diagonal mask, expanded to the group
-    # (same construction grouped_window_attention uses)
-    mb = _masked_bias(bias, g, n)
+    # (same construction grouped_window_attention uses) — or, under the
+    # synth policy, the raw (heads, n, n) bias tiled/masked in-kernel
+    mb = (jnp.asarray(bias, jnp.float32) if synth
+          else _masked_bias(bias, g, n))
 
     in_specs = [pl.BlockSpec((1, toks, c), lambda i: (i, 0, 0))]
     args = [x_win]
@@ -704,6 +772,8 @@ def fused_window_transformer_block(
         def _attn_vmem(f):
             qkv = 3 * f * n * c * 2
             if fold_mode == "masked":
+                if _bias_synth(heads, f, n):
+                    return (heads * n * n + (f * n) ** 2) * 4 + qkv
                 return heads * (f * n) ** 2 * 4 + qkv
             return heads * n * n * 4 + 2 * f * n * n * 4 + qkv
 
@@ -736,7 +806,7 @@ def fused_window_transformer_block(
         and _mono_vmem_model(
             toks, c, w1.shape[1], heads, g * n,
             3 if q_global is None else 2,
-            jnp.dtype(x_win.dtype).itemsize,
+            jnp.dtype(x_win.dtype).itemsize, n=n,
         ) <= 11 * 2 ** 20 * vmem_scale()
     ):
         out = mono_window_transformer_block(
