@@ -168,6 +168,16 @@ VARIANTS = {
     # block) synthesizes + folds 8; L3 stays dense fold=2 pipeline
     "gcvit_synthl4": ("GCViTTiny", (224, 224), {},
                       {"VIPTPU_GCVIT_BIAS_BUDGET": str(6 * 2 ** 20)}),
+    # monoblock at the folded L3: its VMEM model lands at 11.5 MB with the
+    # dense bias — just over the default 11 MB gate — so L3 runs the
+    # 3-kernel pipeline whose per-window-group attention GEMMs hold L3 at
+    # ~47% MXU (19 blocks x 1.07 ms, the biggest GCViT level). 12.5 MB is
+    # still comfortably inside the 16 MB scoped limit.
+    # MEASURED: a tie — 3,430.9 vs 3,339.0 img/s forward order but
+    # 3,461.7 vs 3,464.6 reversed (same session); the first delta was
+    # drift. Gate stays 11 MB (L3 pipeline), knob kept for A/Bs.
+    "gcvit_monol3": ("GCViTTiny", (224, 224), {},
+                     {"VIPTPU_GCVIT_MONO_MB": "12.5"}),
     "effb4_vmem64x": ("EfficientNetV1B4", (224, 224), {}, {
         "VIPTPU_COMPILER_OPTIONS": "xla_tpu_scoped_vmem_limit_kib=65536"}),
 }

@@ -807,7 +807,8 @@ def fused_window_transformer_block(
             toks, c, w1.shape[1], heads, g * n,
             3 if q_global is None else 2,
             jnp.dtype(x_win.dtype).itemsize, n=n,
-        ) <= 11 * 2 ** 20 * vmem_scale()
+        ) <= float(os.environ.get("VIPTPU_GCVIT_MONO_MB", "11"))
+        * 2 ** 20 * vmem_scale()
     ):
         out = mono_window_transformer_block(
             x_win, heads=heads, n=n, ln1_g=ln1_g, ln1_b=ln1_b,
