@@ -1,5 +1,7 @@
 """Pallas kernels vs their XLA reference implementations (interpret mode on
 CPU; the driver's TPU bench exercises the compiled path)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -188,6 +190,45 @@ class TestFusedGCViTBlock:
         y1 = m1.apply(v1, x)
         y0 = m0.apply(v1, x)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+
+    def test_model_lane_packed_matches_unpacked(self):
+        """C=64 levels lane-pack image pairs (pack_lanes + block-diagonal
+        weights + per-half LN stats) — the packed level must be bit-identical
+        to the unpacked pipeline, local AND global-query blocks. dim=64 +
+        batch 2 triggers pack=2 at L1 (the production GCViTTiny shape)."""
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.models import create_model
+
+        rng = np.random.RandomState(1)
+        kw = dict(
+            input_size=(224, 224), nb_classes=3, depths=(2, 1, 1, 1), dim=64,
+            num_heads=(2, 4, 8, 16),
+        )
+        m1, v1, _ = create_model("gcvit_xxtiny", fused_block=True, **kw)
+        m0, _, _ = create_model("gcvit_xxtiny", fused_block=False, init=False, **kw)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 224, 224, 3)).astype(np.float32))
+        try:
+            os.environ["VIPTPU_GCVIT_PACK"] = "1"
+            y1 = m1.apply(v1, x)                  # pack=2 at L1
+        finally:
+            os.environ.pop("VIPTPU_GCVIT_PACK", None)
+        y0 = m0.apply(v1, x)                      # flax reference
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+        y2 = m1.apply(v1, x)                      # unpacked pipeline (default)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_pack_lanes_roundtrip(self):
+        from vip_cup_2022_tpu.ops.pallas.gcvit_block import (pack_lanes,
+                                                             unpack_lanes)
+
+        x = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3)
+        p = pack_lanes(jnp.asarray(x), 2)
+        assert p.shape == (2, 6, 6)
+        # image i of the pair occupies lanes [i*C, (i+1)*C)
+        np.testing.assert_array_equal(np.asarray(p[0, :, :3]), x[0])
+        np.testing.assert_array_equal(np.asarray(p[0, :, 3:]), x[1])
+        np.testing.assert_array_equal(np.asarray(unpack_lanes(p, 2)), x)
 
     @pytest.mark.parametrize("mode", ["masked", "batched", "unroll"])
     def test_grouped_attention_matches_einsum(self, mode):

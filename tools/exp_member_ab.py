@@ -75,6 +75,11 @@ VARIANTS = {
     # prices the per-grid-step DMA/loop overhead
     "gcvit_bpp8": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_BPP": "8"}),
     "gcvit_bf16": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_MM": "bf16"}),
+    # L1 lane-packing: C=64 half-fills (8,128) tiles (210 GB/s effective,
+    # exp_attn_parts) — packing image pairs along lanes makes every DMA/VPU
+    # pass full-width. MEASURED NEGATIVE (3,384-3,435 vs 3,598 img/s): the
+    # block-diagonal weights double per-image GEMM FLOPs. Default off.
+    "gcvit_pack": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_PACK": "1"}),
     # unrolled per-window attention: no GxG masked score matrix (kills the
     # 8x softmax waste at L1) and linear-VMEM bias -> the L4 batch-fold
     # becomes legal again

@@ -166,7 +166,7 @@ class GCViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, q_global=None, training: bool = False,
-                 windowed: bool = False):
+                 windowed: bool = False, pack: int = 1):
         cfg = self.cfg
         ws = self.window_size
 
@@ -174,8 +174,9 @@ class GCViTBlock(nn.Module):
             # x is already window-partitioned tokens (B, nWin*N, C): the
             # level hoists partition/reverse outside its block loop (the
             # per-block round trip was ~0.5 ms/block at L1 — pure layout
-            # copies that cancel between consecutive blocks)
-            return self._fused_tokens(x, q_global)
+            # copies that cancel between consecutive blocks). With pack > 1
+            # the level also lane-packed image pairs (C=64 -> 128 lanes).
+            return self._fused_tokens(x, q_global, pack=pack)
         b, h, w, c = x.shape
 
         if _use_fused_block(cfg, training) and not self.is_initializing():
@@ -215,7 +216,7 @@ class GCViTBlock(nn.Module):
         x = x + DropPath(self.path_drop, name="drop_path2")(gamma2 * m, training=training)
         return x
 
-    def _fused_tokens(self, xw, q_global):
+    def _fused_tokens(self, xw, q_global, pack: int = 1):
         """Whole-block fused Pallas pipeline on window-partitioned tokens
         (B, nWin*N, C) -> same shape (inference; params already exist during
         apply — init always runs the Flax path above, creating them).
@@ -263,6 +264,7 @@ class GCViTBlock(nn.Module):
             q_global=q_global,
             force_mm_dtype={"bf16": jnp.bfloat16, "f32": jnp.float32}.get(
                 os.environ.get("VIPTPU_GCVIT_MM", "")),
+            pack=pack,
             interpret=jax.default_backend() != "tpu",
         )
 
@@ -307,8 +309,28 @@ class GCViTLevel(nn.Module):
         hoist = (_use_fused_block(self.cfg, training)
                  and not self.is_initializing())
         hp, wp = h + h_pad, w + w_pad
+        # lane-packing (default OFF, measured negative): at C<128 (L1:
+        # C=64) every (8,128) VMEM tile is half-empty — 210 GB/s effective
+        # DMA and half-width VPU passes (tools/exp_attn_parts.py). Packing
+        # image PAIRS along the lane axis makes every pass full-width, but
+        # the block-diagonal qkv/proj/MLP weights double the per-image GEMM
+        # FLOPs; measured member A/B 3,384-3,435 packed vs 3,598 img/s
+        # unpacked (same session). VIPTPU_GCVIT_PACK=1 enables for A/Bs.
+        import os as _os
+
+        from ..ops.pallas.gcvit_block import (attn_mode, pack_lanes,
+                                              unpack_lanes)
+
+        pack = 1
+        if (hoist and c < 128 and 128 % c == 0 and b % (128 // c) == 0
+                and attn_mode() == "masked"
+                and _os.environ.get("VIPTPU_GCVIT_PACK", "0") == "1"):
+            pack = 128 // c
         if hoist:
             x = window_partition(x, ws).reshape(b, -1, c)
+            if pack > 1:
+                x = pack_lanes(x, pack)
+                q_global_tokens = pack_lanes(q_global_tokens, pack)
         for i in range(self.depth):
             blk = GCViTBlock(
                 self.cfg,
@@ -319,8 +341,10 @@ class GCViTLevel(nn.Module):
                 name=f"blocks_{i}",
             )
             x = blk(x, q_global=q_global_tokens if i % 2 else None,
-                    training=training, windowed=hoist)
+                    training=training, windowed=hoist, pack=pack)
         if hoist:
+            if pack > 1:
+                x = unpack_lanes(x, pack)
             x = window_reverse(x.reshape(-1, ws, ws, c), ws, hp, wp)
 
         x = x[:, :h, :w, :]  # crop back (level.py:61-63)

@@ -52,6 +52,62 @@ def _aligned(*dims: int) -> bool:
     return all(d % 128 == 0 for d in dims)
 
 
+# ---------------------------------------------------------------------------
+# lane-packing: C<128 levels half-fill every (8,128) VMEM tile (GCViT L1 at
+# C=64 measured 210 GB/s effective DMA and half-width VPU passes —
+# tools/exp_attn_parts.py). Packing `pack` consecutive images along the lane
+# axis makes every DMA tile and VPU pass full-width; weights become
+# block-diagonal (exact math: the kron zeros contribute exact 0.0 to the f32
+# accumulators) and LN stats are computed per 64-lane half.
+# ---------------------------------------------------------------------------
+def pack_lanes(x: jax.Array, pack: int) -> jax.Array:
+    """(B, T, C) -> (B//pack, T, pack*C): lane-concatenate ``pack``
+    consecutive images (image i of the pair occupies lanes [i*C, (i+1)*C))."""
+    b, t, c = x.shape
+    return x.reshape(b // pack, pack, t, c).transpose(0, 2, 1, 3).reshape(
+        b // pack, t, pack * c)
+
+
+def unpack_lanes(x: jax.Array, pack: int) -> jax.Array:
+    """Inverse of :func:`pack_lanes`."""
+    b, t, pc = x.shape
+    c = pc // pack
+    return x.reshape(b, t, pack, c).transpose(0, 2, 1, 3).reshape(
+        b * pack, t, c)
+
+
+def _pack_weight(w, pack):
+    """(C, D) -> block-diagonal (pack*C, pack*D): packed lanes [img_i*C..]
+    map to packed output lanes [img_i*D..]."""
+    if pack == 1:
+        return w
+    return jnp.kron(jnp.eye(pack, dtype=w.dtype), jnp.asarray(w))
+
+
+def _pack_vec(v, pack):
+    if pack == 1:
+        return v
+    return jnp.tile(jnp.asarray(v), pack)
+
+
+def _ln_normalize(xf, pack, eps):
+    """LayerNorm statistics over the per-image channel span: full-row for
+    pack=1, else per 1/pack lane-slice (each image's channels normalize
+    independently, exactly as unpacked)."""
+    if pack == 1:
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+        return (xf - mean) * jax.lax.rsqrt(var + eps)
+    c0 = xf.shape[-1] // pack
+    ys = []
+    for i in range(pack):
+        h = jax.lax.slice(xf, (0, i * c0), (xf.shape[0], (i + 1) * c0))
+        mean = h.mean(axis=-1, keepdims=True)
+        var = ((h - mean) ** 2).mean(axis=-1, keepdims=True)
+        ys.append((h - mean) * jax.lax.rsqrt(var + eps))
+    return jnp.concatenate(ys, axis=1)
+
+
 def _mm_dtype(x_dtype, *dims, force=None):
     """Matmul dtype: follow the compute dtype (bf16 on TPU) regardless of
     lane alignment. The old conservative rule forced f32 at C % 128 != 0 out
@@ -71,11 +127,10 @@ def _mm_dtype(x_dtype, *dims, force=None):
 # ---------------------------------------------------------------------------
 # kernel 1: LN + dense (qkv projection)
 # ---------------------------------------------------------------------------
-def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, *o_refs, eps, mm_dtype):
+def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, *o_refs, eps,
+                     mm_dtype, pack=1):
     xf = x_ref[:].astype(jnp.float32)
-    mean = xf.mean(axis=-1, keepdims=True)
-    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = _ln_normalize(xf, pack, eps)
     y = y * g_ref[:] + b_ref[:]
     o = jnp.dot(y.astype(mm_dtype), w_ref[:], preferred_element_type=jnp.float32)
     o = o + wb_ref[:]
@@ -86,16 +141,29 @@ def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, *o_refs, eps, mm_dtype)
 
 
 def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
-             force_mm_dtype=None, interpret=False):
+             force_mm_dtype=None, pack=1, interpret=False):
     """LN over the last axis then a dense projection; x2 is (M, C). With
     ``split`` > 1 the (M, D) result is returned as ``split`` separate
     (M, D/split) arrays (q/k/v), keeping each output's lane dim equal to its
-    full array width — the layout the attention kernel's BlockSpecs need."""
+    full array width — the layout the attention kernel's BlockSpecs need.
+    With ``pack`` > 1, x2 is lane-packed (see pack_lanes): weights/LN params
+    are per-image (C/pack wide) and get block-diagonal/tiled here; each split
+    component's output keeps the packed lane layout [img0 | img1]."""
+    if pack > 1:
+        d0 = w.shape[1] // split
+        w = jnp.concatenate(
+            [_pack_weight(w[:, j * d0:(j + 1) * d0], pack)
+             for j in range(split)], axis=1)
+        wb = jnp.concatenate(
+            [_pack_vec(wb[j * d0:(j + 1) * d0], pack) for j in range(split)])
+        ln_g = _pack_vec(ln_g, pack)
+        ln_b = _pack_vec(ln_b, pack)
     m, c = x2.shape
     d = w.shape[1]
     width = d // split
     mm_dtype = _mm_dtype(x2.dtype, c, d, force=force_mm_dtype)
-    kern = functools.partial(_ln_dense_kernel, eps=eps, mm_dtype=mm_dtype)
+    kern = functools.partial(_ln_dense_kernel, eps=eps, mm_dtype=mm_dtype,
+                             pack=pack)
     if x2.dtype == jnp.float32:
         row_tile //= 2  # f32 tiles are 2x the bytes; stay under scoped VMEM
     if c < 128:
@@ -195,7 +263,7 @@ def _apply_masked_bias(s, mb_h, g, n, synth):
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
-                 mm_dtype=jnp.float32, wpp=1, synth=False):
+                 mm_dtype=jnp.float32, wpp=1, synth=False, pack=1):
     # wpp = window-GROUPS per program: the per-grid-step fixed cost is the
     # dominant kernel cost at L1 (tools/exp_attn_parts.py: empty-kernel
     # floor 1.96 ms of the 3.52 ms total across 2048 steps), so each
@@ -208,7 +276,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
     kall = k_ref[0]                                   # (wpp*gN, C)
     vall = v_ref[0]
     c = kall.shape[1]
-    hd = c // heads
+    c0 = c // pack                                    # per-image channel span
+    hd = c0 // heads
     q_global = qall.shape[0] != wpp * gn
     outs = []
     for w in range(wpp):
@@ -222,11 +291,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
             qf = jax.lax.slice(qall, (w * gn, 0), ((w + 1) * gn, c))
         qfull = (qf.astype(jnp.float32) * scale).astype(mm_dtype)
         houts = []
-        for h in range(heads):
-            q = qfull[:, h * hd : (h + 1) * hd]
+        for i, h in ((i, h) for i in range(pack) for h in range(heads)):
+            off = i * c0 + h * hd                     # packed-image lane slot
+            q = qfull[:, off : off + hd]
             if q.shape[0] != gn:                      # global query: tile
                 q = jnp.concatenate([q] * g, axis=0)
-            k = kfull[:, h * hd : (h + 1) * hd]
+            k = kfull[:, off : off + hd]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -234,7 +304,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mb_ref, o_ref, *, scale, g, n, heads,
             s = _apply_masked_bias(s, mb_ref[h], g, n, synth)
             s = s - jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s)
-            vh = vfull[:, h * hd : (h + 1) * hd].astype(mm_dtype)
+            vh = vfull[:, off : off + hd].astype(mm_dtype)
             if mxu_sum:
                 # row-sum on the MXU: p @ [V | 1] yields (gN, hd+1) whose
                 # last column is sum(p); normalize the small output instead
@@ -352,7 +422,7 @@ def _pick_wpp(nwg: int, g: int, n: int, c: int, heads: int,
 
 def grouped_window_attention(
     q, k, v, heads, n, *, bias, scale, group, q_is_global=False,
-    force_mm_dtype=None, mode=None, wpp=None, interpret=False,
+    force_mm_dtype=None, mode=None, wpp=None, pack=1, interpret=False,
 ):
     """Block-diagonal grouped window attention.
 
@@ -372,6 +442,7 @@ def grouped_window_attention(
     assert nwin % g == 0, (nwin, g)
     nwg = nwin // g
     mode = attn_mode(mode)
+    assert pack == 1 or mode == "masked", (pack, mode)  # pack is masked-only
     if mode == "masked":
         if wpp is None:
             wpp = _pick_wpp(nwg, g, n, c, heads, jnp.dtype(k.dtype).itemsize)
@@ -392,7 +463,7 @@ def grouped_window_attention(
         kern = functools.partial(
             _attn_kernel, scale=scale, g=g, n=n, heads=heads,
             mm_dtype=_mm_dtype(k.dtype, force=force_mm_dtype), wpp=wpp,
-            synth=synth,
+            synth=synth, pack=pack,
         )
     else:
         mb = jnp.asarray(bias, jnp.float32)           # (heads, N, N), no tile
@@ -427,14 +498,12 @@ def grouped_window_attention(
 # ---------------------------------------------------------------------------
 def _tail_kernel(a_ref, x_ref, wp_ref, bp_ref, g1_ref, lg_ref, lb_ref,
                  w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, o_ref, *, eps,
-                 mm_dtype, gelu="erf"):
+                 mm_dtype, gelu="erf", pack=1):
     proj = jnp.dot(a_ref[:].astype(mm_dtype), wp_ref[:],
                    preferred_element_type=jnp.float32) + bp_ref[:]
     r1 = x_ref[:].astype(jnp.float32) + proj * g1_ref[:]
 
-    mean = r1.mean(axis=-1, keepdims=True)
-    var = ((r1 - mean) ** 2).mean(axis=-1, keepdims=True)
-    y = (r1 - mean) * jax.lax.rsqrt(var + eps)
+    y = _ln_normalize(r1, pack, eps)
     y = y * lg_ref[:] + lb_ref[:]
     h = jnp.dot(y.astype(mm_dtype), w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:]
@@ -446,15 +515,22 @@ def _tail_kernel(a_ref, x_ref, wp_ref, bp_ref, g1_ref, lg_ref, lb_ref,
 
 def proj_res_ln_mlp(
     attn_out, x2, wp, bp, gamma1, ln_g, ln_b, w1, b1, w2, b2, gamma2,
-    *, eps=1e-5, row_tile=1024, force_mm_dtype=None, gelu=None,
+    *, eps=1e-5, row_tile=1024, force_mm_dtype=None, gelu=None, pack=1,
     interpret=False,
 ):
-    """x + g1*proj(attn) then +g2*MLP(LN(.)) over flat (M, C) tokens."""
+    """x + g1*proj(attn) then +g2*MLP(LN(.)) over flat (M, C) tokens.
+    ``pack`` > 1: lane-packed tokens; per-image weights go block-diagonal
+    (see ln_dense)."""
+    if pack > 1:
+        wp, w1, w2 = (_pack_weight(w_, pack) for w_ in (wp, w1, w2))
+        bp, gamma1, ln_g, ln_b, b1, b2, gamma2 = (
+            _pack_vec(v_, pack)
+            for v_ in (bp, gamma1, ln_g, ln_b, b1, b2, gamma2))
     m, c = x2.shape
     hidden = w1.shape[1]
     mm_dtype = _mm_dtype(x2.dtype, c, hidden, force=force_mm_dtype)
     kern = functools.partial(_tail_kernel, eps=eps, mm_dtype=mm_dtype,
-                             gelu=gelu_flavor(gelu))
+                             gelu=gelu_flavor(gelu), pack=pack)
     if x2.dtype == jnp.float32:
         row_tile //= 2  # f32 tiles are 2x the bytes (see ln_dense)
     if c < 128:
@@ -737,12 +813,14 @@ def fused_window_transformer_block(
     eps: float = 1e-5,
     force_mm_dtype=None,
     mode: Optional[str] = None,
+    pack: int = 1,             # lane-packed images per row (see pack_lanes);
+    # x_win/q_global arrive packed, weights stay per-image (C/pack wide)
     interpret: bool = False,
 ) -> jax.Array:
     b, toks, c = x_win.shape
     b0, toks0 = b, toks  # pre-fold shape for the final reshape
     nwin = toks // n
-    hd = c // heads
+    hd = (c // pack) // heads
     scale = scale if scale is not None else hd ** -0.5
     import os
 
@@ -796,11 +874,13 @@ def fused_window_transformer_block(
 
     g = group or _pick_group(nwin, n)
 
-    # monoblock: whole block in one program per image (masked mode only).
+    # monoblock: whole block in one program per image (masked mode only,
+    # unpacked — the packed L1 VMEM footprint exceeds the mono gate anyway).
     # VIPTPU_GCVIT_MONO=0 restores the three-kernel pipeline; the VMEM
     # model gates shapes whose per-program footprint would overflow.
     if (
         mode == "masked"
+        and pack == 1
         and os.environ.get("VIPTPU_GCVIT_MONO", "1") == "1"
         and nwin % g == 0
         and _mono_vmem_model(
@@ -822,7 +902,7 @@ def fused_window_transformer_block(
         )
         return out.reshape(b0, toks0, c)
 
-    ones = jnp.ones((c,), jnp.float32)
+    ones = jnp.ones((c // pack,), jnp.float32)
     gamma1 = ones if gamma1 is None else gamma1
     gamma2 = ones if gamma2 is None else gamma2
 
@@ -830,7 +910,7 @@ def fused_window_transformer_block(
     s_comp = 3 if q_global is None else 2
     parts = ln_dense(
         x2, ln1_g, ln1_b, wqkv, bqkv, eps=eps, split=s_comp,
-        force_mm_dtype=force_mm_dtype, interpret=interpret
+        force_mm_dtype=force_mm_dtype, pack=pack, interpret=interpret
     )
     parts = [part.reshape(b, toks, c) for part in parts]
     if q_global is None:
@@ -846,12 +926,12 @@ def fused_window_transformer_block(
     attn = grouped_window_attention(
         q, k, v, heads, n, bias=bias, scale=scale, group=g,
         q_is_global=q_is_global, force_mm_dtype=force_mm_dtype,
-        mode=mode, wpp=int(wpp_env) if wpp_env else None,
+        mode=mode, wpp=int(wpp_env) if wpp_env else None, pack=pack,
         interpret=interpret,
     )
     out = proj_res_ln_mlp(
         attn.reshape(b * toks, c), x2, wp, bp, gamma1, ln2_g, ln2_b,
         w1, b1, w2, b2, gamma2, eps=eps, force_mm_dtype=force_mm_dtype,
-        interpret=interpret,
+        pack=pack, interpret=interpret,
     )
     return out.reshape(b0, toks0, c)
