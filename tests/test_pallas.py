@@ -390,3 +390,34 @@ class TestPallasLayerNorm:
         for got_i, ref_i in zip(got, ref):
             np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i),
                                        atol=1e-6)
+
+
+class TestDepthwisePallas:
+    """ops/pallas/depthwise.py — tap-loop depthwise kernel (kept as a
+    documented NEGATIVE result: on v5e it loses to XLA's true-depthwise
+    lowering at every EfficientNet shape and Mosaic rejects several, see
+    NOTES_r3.md; the kernel stays for interpret-mode reference and forward
+    hardware). Reference op: keras DepthwiseConv2D(use_bias=False) as used
+    by kecam common_layers.depthwise_conv2d_no_bias."""
+
+    def test_matches_xla_depthwise(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.depthwise import depthwise_conv_nhwc
+
+        rng = np.random.RandomState(0)
+        for (b, h, w, c, k, pad) in [
+            (2, 14, 14, 96, 5, ((2, 2), (2, 2))),
+            (3, 9, 9, 64, 3, ((1, 1), (1, 1))),
+            (2, 8, 10, 32, 3, ((0, 2), (1, 1))),  # asymmetric (torch SAME)
+        ]:
+            x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+            kern = jnp.asarray(rng.randn(k, k, 1, c), jnp.float32)
+            ref = jax.lax.conv_general_dilated(
+                x, kern, (1, 1), [pad[0], pad[1]],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c)
+            got = depthwise_conv_nhwc(x, kern, padding=pad, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4)
