@@ -315,6 +315,43 @@ def main():
         detail["mfu"] = round(flops_batch / per_fwd / peak, 4)
         detail["peak_tflops_assumed"] = peak / 1e12
 
+    # On-chip fused-vs-XLA equivalence gate (VERDICT r3 item 6): run ONE
+    # batch through the production fused-pallas program and through the
+    # pure-XLA program (VIPTPU_NO_FUSED_BLOCK, read at trace time) and
+    # report max |Δp|. Mosaic miscompiles have been observed on this stack
+    # (ops/pallas/convnext_block.py bf16 lane-unaligned LHS), so the bench
+    # number is only trustworthy alongside this diff. Both arms run in the
+    # same compute dtype; the bound is therefore kernel-order bf16 noise
+    # (~5e-3 on sigmoid probabilities), not dtype error.
+    # VIPTPU_BENCH_NO_EQUIV=1 skips (saves the second whole-ensemble compile).
+    if path.startswith("fused") and not int(
+        os.environ.get("VIPTPU_BENCH_NO_EQUIV", "0")
+    ):
+        old_env = os.environ.get("VIPTPU_NO_FUSED_BLOCK")
+        try:
+            os.environ["VIPTPU_NO_FUSED_BLOCK"] = "1"
+            xla_prog = engine.build_fused_ensemble(members, tta=1)
+            p_xla = np.asarray(xla_prog(all_variables, inputs[0], key))
+            p_fused = np.asarray(fused(all_variables, inputs[0], key))
+            max_dp = float(np.max(np.abs(p_fused - p_xla)))
+            detail["fused_vs_xla_max_dp"] = round(max_dp, 6)
+            detail["equiv_ok"] = bool(max_dp < 0.05)
+            if max_dp >= 0.05:
+                print(
+                    f"EQUIVALENCE GATE FAILED: fused vs XLA max|dp|={max_dp:.4f}"
+                    " >= 0.05 — suspect a Mosaic miscompile; the throughput"
+                    " number above is NOT trustworthy",
+                    file=__import__("sys").stderr,
+                )
+        except Exception as e:
+            print(f"equivalence gate unavailable ({type(e).__name__}: {e})",
+                  file=__import__("sys").stderr)
+        finally:
+            if old_env is None:
+                os.environ.pop("VIPTPU_NO_FUSED_BLOCK", None)
+            else:
+                os.environ["VIPTPU_NO_FUSED_BLOCK"] = old_env
+
     if int(os.environ.get("VIPTPU_BENCH_MEMBERS", "0")):
         per_member = {}
         for (module, dim), fold_vars in zip(members, all_variables):

@@ -400,3 +400,36 @@ def test_fused_ensemble_fuse_bn_env(multi_workspace, monkeypatch):
     np.testing.assert_allclose(
         merged["raw_b"].values, merged["raw_f"].values, atol=2e-5
     )
+
+
+@pytest.mark.slow
+def test_tta_fold_mode_equals_map(multi_workspace, monkeypatch):
+    """VIPTPU_TTA_MODE=fold (TTA replicas concatenated into the batch axis,
+    one forward at tta*B) must equal the lax.map mode bit-for-bit — same
+    per-replica keys, same aggregation order."""
+    import vip_cup_2022_tpu.infer.engine as eng
+    from vip_cup_2022_tpu.core.config import Config
+    from vip_cup_2022_tpu.infer.engine import EnsembleEngine, load_manifest
+
+    monkeypatch.setattr(eng, "registry_name", _mini_registry(monkeypatch))
+    monkeypatch.setenv("VIPTPU_MAX_BATCH", "8")
+    root, input_csv, names = multi_workspace
+
+    cfg = Config({})
+    cfg.test_csv = str(input_csv)
+    cfg.infer_path = str(input_csv.parent)
+    cfg.output_csv_path = str(root / "tta_fold.csv")
+    cfg.debug = 0
+    cfg.verbose = 0
+    cfg.tta = 2
+    cfg.agg = "mean"
+    cfg.seed = 42
+    cfg.thr = 0.487
+    cfg.ckpt_cfg = load_manifest(str(root / "ckpts"), str(root / "ckpts" / "ckpts.json"))
+
+    monkeypatch.setenv("VIPTPU_TTA_MODE", "map")
+    df_map = EnsembleEngine(verbose=0).predict_soln_fused(cfg)
+    monkeypatch.setenv("VIPTPU_TTA_MODE", "fold")
+    df_fold = EnsembleEngine(verbose=0).predict_soln_fused(cfg)
+    np.testing.assert_allclose(df_fold["raw"].values, df_map["raw"].values,
+                               atol=1e-6)

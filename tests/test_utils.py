@@ -257,3 +257,104 @@ def test_flip_rate_harness_runs():
     r = summary["results"]["head_scale_1"]
     assert set(r) >= {"flip_rate", "balanced_acc_bf16_vs_f32", "max_abs_dp"}
     assert 0.0 <= r["flip_rate"] <= 1.0
+
+
+def test_checkpoint_md5_sidecar(tmp_path):
+    """save_variables writes an .md5 sidecar; load verifies and fails loudly
+    on corruption (reference file_hash contract, download_and_load.py:40-44)."""
+    from vip_cup_2022_tpu.utils.checkpoint import (
+        file_md5, load_variables, save_variables,
+    )
+
+    variables = {"params": {"w": jnp.arange(8, dtype=jnp.float32)}}
+    path = str(tmp_path / "ck.msgpack")
+    digest = save_variables(path, variables)
+    assert digest and (tmp_path / "ck.msgpack.md5").exists()
+    assert file_md5(path) == digest
+    restored = load_variables(path)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.arange(8, dtype=np.float32)
+    )
+    with open(path, "r+b") as fh:  # flip a payload byte -> verified load fails
+        fh.seek(10)
+        b = fh.read(1)
+        fh.seek(10)
+        fh.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        load_variables(path)
+    # sidecar removed -> unverified load proceeds (legacy checkpoints)
+    (tmp_path / "ck.msgpack.md5").unlink()
+    save_variables(path, variables, checksum=False)
+    assert not (tmp_path / "ck.msgpack.md5").exists()
+    load_variables(path)
+
+
+def test_stochastic_depth_add_swap():
+    """Config-level replace_add_with_stochastic_depth / back
+    (model_surgery.py:188-271): rates land in the config, variables carry
+    over (drop-path is weightless), eval outputs are unchanged."""
+    from vip_cup_2022_tpu.utils.surgery import (
+        add_stochastic_depth, remove_stochastic_depth,
+    )
+
+    module, variables, cfg = create_model("resnetrs50", input_size=(64, 64),
+                                          nb_classes=4)
+    cfg_sd = add_stochastic_depth(cfg, survivals=(1.0, 0.8))
+    assert abs(cfg_sd.drop_path_rate - 0.2) < 1e-9
+    x = jnp.asarray(np.random.RandomState(0).uniform(size=(1, 64, 64, 3)),
+                    dtype=jnp.float32)
+    y0 = module.apply(variables, x)
+    y1 = type(module)(cfg_sd).apply(variables, x)  # eval: identity drop-path
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
+    cfg_back = remove_stochastic_depth(cfg_sd)
+    assert cfg_back.drop_path_rate == 0.0
+    with pytest.raises(ValueError, match="start at 1.0"):
+        add_stochastic_depth(cfg, survivals=(0.9, 0.8))
+
+
+def test_change_input_shape_vit():
+    """change_model_input_shape analogue (model_surgery.py:170-185): ViT
+    rebuilt at a new size gets its (1, 1+N, C) pos_embed grid-interpolated;
+    all other weights copy exactly."""
+    from vip_cup_2022_tpu.utils.surgery import change_input_shape
+
+    module, variables, cfg = create_model("vit_tiny_patch16_224",
+                                          nb_classes=4)
+    m2, v2, cfg2 = change_input_shape("vit_tiny_patch16_224", variables,
+                                      (192, 192), nb_classes=4)
+    assert cfg2.input_size == (192, 192)
+    from flax.traverse_util import flatten_dict
+
+    f1, f2 = flatten_dict(variables), flatten_dict(v2)
+    pos_key = [k for k in f2 if k[-1] == "pos_embed"]
+    assert pos_key, "vit should expose pos_embed"
+    k = pos_key[0]
+    assert f2[k].shape[1] == 1 + (192 // 16) ** 2
+    n_exact = sum(
+        1 for kk in f2
+        if kk in f1 and f1[kk].shape == f2[kk].shape
+        and np.allclose(np.asarray(f1[kk]), np.asarray(f2[kk]))
+    )
+    assert n_exact >= len(f2) - 2  # everything but pos_embed copied
+    out = m2.apply(v2, jnp.zeros((1, 192, 192, 3), jnp.float32))
+    assert out.shape == (1, 4)
+
+
+def test_change_input_shape_swin_rel_bias():
+    """Swin relative_position_bias_table (M, heads) with M=(2w-1)^2 resizes
+    on its (2w-1, 2w-1) grid when the window changes with input size."""
+    from flax.traverse_util import flatten_dict
+
+    from vip_cup_2022_tpu.utils.surgery import change_input_shape
+
+    module, variables, cfg = create_model(
+        "swin_tiny_patch4_window7_224", nb_classes=4)
+    m2, v2, cfg2 = change_input_shape(
+        "swin_tiny_patch4_window7_224", variables, (256, 256), nb_classes=4,
+        window_size=8)
+    f2 = flatten_dict(v2)
+    tables = [k for k in f2 if k[-1] == "relative_position_bias_table"]
+    assert tables
+    assert all(f2[k].shape[0] == (2 * 8 - 1) ** 2 for k in tables)
+    out = m2.apply(v2, jnp.zeros((1, 256, 256, 3), jnp.float32))
+    assert out.shape == (1, 4)

@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""End-to-end CSV->CSV product run on real hardware (VERDICT r3 item 4).
+
+Proves the product contract at speed: generates a synthetic JPEG testset in
+the competition's eval shape (200x200, JPEG-recompressed at varying quality —
+reference README.md:69), runs ``python3 main.py input.csv output.csv``
+exactly as the judge would (reference envelope: 5,000 images within 1 hour on
+the organizers' box, README.md:104), and reports:
+
+- wall time of the full CLI run (cold = includes jit compile; warm = cached)
+- host decode-pool throughput measured standalone (can it feed the chip?)
+- device-only throughput for context (from BENCH)
+- p50 per-batch end-to-end latency (VIPTPU_E2E_BATCH_TIMES sync mode)
+
+Writes one JSON line to stdout and (with --out) a sibling JSON file.
+
+Usage:
+  python tools/e2e_run.py --n 5000 --out E2E_r04.json
+  python tools/e2e_run.py --n 200 --platform cpu     # quick local sanity
+"""
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_testset(root: str, n: int, seed: int = 0):
+    """Synthetic 200x200 JPEGs with low-frequency structure + noise, saved at
+    varying JPEG quality (the eval spec's recompression, README.md:69)."""
+    import numpy as np
+    from PIL import Image
+
+    img_dir = os.path.join(root, "testset")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    names = []
+    t0 = time.perf_counter()
+    for i in range(n):
+        base = rng.randint(0, 256, size=(25, 25, 3), dtype=np.uint8)
+        img = np.kron(base, np.ones((8, 8, 1), np.uint8))
+        noise = rng.randint(0, 32, size=(200, 200, 3), dtype=np.uint8)
+        img = np.clip(img.astype(np.int16) + noise - 16, 0, 255).astype(np.uint8)
+        name = f"img_{i:05d}.jpg"
+        Image.fromarray(img).save(
+            os.path.join(img_dir, name), quality=int(rng.randint(65, 100))
+        )
+        names.append(name)
+    gen_s = time.perf_counter() - t0
+    csv = os.path.join(img_dir, "input.csv")
+    with open(csv, "w") as fh:
+        fh.write("filename\n")
+        fh.writelines(f"{x}\n" for x in names)
+    return csv, gen_s
+
+
+def time_decode_pool(csv_path: str, threads: int = 16) -> dict:
+    """Standalone host decode+resize throughput of the engine's cv2 pool
+    (data/decode.py + the NATIVE_SIZE resize) — the producer side of the
+    streaming path."""
+    sys.path.insert(0, REPO)
+    import pandas as pd
+
+    from vip_cup_2022_tpu.data.decode import ImageDecoder
+    from vip_cup_2022_tpu.data.pipeline import _host_resize_uint8
+
+    df = pd.read_csv(csv_path)
+    paths = [os.path.join(os.path.dirname(csv_path), f) for f in df.filename]
+    dec = ImageDecoder(num_threads=threads)
+    post = lambda im: _host_resize_uint8(im, (200, 200))  # noqa: E731
+    # warm the pool
+    [f.result() for f in dec.submit_batch(paths[:32], post)]
+    t0 = time.perf_counter()
+    futs = dec.submit_batch(paths, post)
+    out = [f.result() for f in futs]
+    dt = time.perf_counter() - t0
+    assert len(out) == len(paths) and out[0].shape == (200, 200, 3)
+    return {"n": len(paths), "threads": threads, "seconds": round(dt, 2),
+            "img_per_sec": round(len(paths) / dt, 1)}
+
+
+def run_cli(csv_path: str, out_csv: str, env_extra=None, timeout=5400) -> dict:
+    env = dict(os.environ)
+    env["VIPTPU_ALLOW_RANDOM_INIT"] = "1"  # no released weights in-env
+    env["VIPTPU_VERBOSE"] = "1"
+    env.update(env_extra or {})
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "main.py"), csv_path, out_csv],
+        env=env, capture_output=True, text=True, timeout=timeout, cwd=REPO,
+    )
+    wall = time.perf_counter() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-4000:], file=sys.stderr)
+        print(proc.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"main.py failed rc={proc.returncode}")
+    infer_min = None
+    for line in proc.stdout.splitlines():
+        if "TIME TO INFER" in line:
+            infer_min = float(line.split(":")[-1].replace("min", "").strip())
+    n_rows = sum(1 for _ in open(out_csv)) - 1
+    return {"wall_s": round(wall, 1), "infer_min_reported": infer_min,
+            "rows_out": n_rows}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=5000)
+    ap.add_argument("--workdir", default="")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--platform", default="",
+                    help="set VIPTPU_PLATFORM for the CLI run (e.g. cpu)")
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--skip-latency", action="store_true",
+                    help="skip the synchronous per-batch latency rerun")
+    args = ap.parse_args()
+
+    root = args.workdir or tempfile.mkdtemp(prefix="vip_e2e_")
+    os.makedirs(root, exist_ok=True)
+    csv_path, gen_s = make_testset(root, args.n)
+    print(f"[e2e] {args.n} JPEGs generated in {gen_s:.1f}s -> {root}",
+          file=sys.stderr, flush=True)
+
+    decode = time_decode_pool(csv_path)
+    print(f"[e2e] decode pool: {decode['img_per_sec']} img/s", file=sys.stderr,
+          flush=True)
+
+    env_extra = {}
+    if args.platform:
+        env_extra["VIPTPU_PLATFORM"] = args.platform
+
+    out_csv = os.path.join(root, "output.csv")
+    cold = run_cli(csv_path, out_csv, env_extra)
+    print(f"[e2e] cold run: {cold}", file=sys.stderr, flush=True)
+    warm = run_cli(csv_path, out_csv, env_extra)
+    print(f"[e2e] warm run: {warm}", file=sys.stderr, flush=True)
+
+    lat = None
+    if not args.skip_latency:
+        times_json = os.path.join(root, "batch_times.json")
+        sync = run_cli(csv_path, out_csv,
+                       {**env_extra, "VIPTPU_E2E_BATCH_TIMES": times_json})
+        with open(times_json) as fh:
+            bt = json.load(fh)
+        ts = sorted(bt["batch_e2e_s"])
+        lat = {
+            "batch_size": bt["batch_size"],
+            "n_batches": len(ts),
+            "p50_ms": round(ts[len(ts) // 2] * 1e3, 1),
+            "p90_ms": round(ts[int(len(ts) * 0.9)] * 1e3, 1),
+            "max_ms": round(ts[-1] * 1e3, 1),
+            "sync_run_wall_s": sync["wall_s"],
+        }
+        print(f"[e2e] per-batch latency: {lat}", file=sys.stderr, flush=True)
+
+    result = {
+        "metric": "e2e_csv_to_csv",
+        "n_images": args.n,
+        "decode_pool": decode,
+        "cold": cold,
+        "warm": warm,
+        "e2e_img_per_sec_warm": round(args.n / warm["wall_s"], 1),
+        "e2e_img_per_sec_cold": round(args.n / cold["wall_s"], 1),
+        "batch_latency": lat,
+        "envelope": "reference: 5000 imgs / 1 h incl. model load (README.md:104)",
+        "within_envelope": cold["wall_s"] < 3600,
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1)
+    if not args.keep and not args.workdir:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

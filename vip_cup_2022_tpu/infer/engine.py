@@ -340,6 +340,19 @@ class EnsembleEngine:
                 p = 1.0 - p[:, 0:1]  # multiclass -> binary (main.py:113-114)
             return p
 
+        # TTA execution strategy (identical math, same per-replica keys):
+        #   map  — jax.lax.map over TTA replicas: tta sequential forwards at
+        #          batch B (the reference's per-replica predict loop,
+        #          main.py:89-98)
+        #   fold — concatenate the tta augmented copies along the BATCH axis
+        #          and run ONE forward at tta*B, then reduce; fills the MXU
+        #          when B alone is small. Callers should shrink B so tta*B
+        #          stays at the tuned 256 (the ConvNeXt batch-lane kernel
+        #          rejects 512-lane folds).
+        tta_mode = os.environ.get("VIPTPU_TTA_MODE", "map").strip().lower()
+        if tta_mode not in ("map", "fold"):
+            raise ValueError(f"VIPTPU_TTA_MODE={tta_mode!r} not in map|fold")
+
         def forward(all_variables, u8, rng):
             x0 = u8.astype(jnp.float32) / 255.0
             # one resize per DISTINCT member size (GCViT + EffV1B4 share 224)
@@ -357,7 +370,15 @@ class EnsembleEngine:
                 x = by_dim[dim]
                 fold_preds = []
                 for variables in fold_vars:
-                    if tta > 1:
+                    if tta > 1 and tta_mode == "fold":
+                        keys = jax.random.split(rng, tta)
+                        xs = jnp.concatenate(
+                            [apply_augment(keys[t], x) for t in range(tta)], 0
+                        )
+                        outs = apply_fn(variables, xs).astype(jnp.float32)
+                        outs = outs.reshape(tta, x.shape[0], *outs.shape[1:])
+                        fold_preds.append(to_binary(agg_fn(outs, axis=0)))
+                    elif tta > 1:
                         def one(key, x=x, apply_fn=apply_fn, variables=variables):
                             return apply_fn(
                                 variables, apply_augment(key, x)
@@ -536,11 +557,25 @@ class EnsembleEngine:
         else:
             batches = self._decode_stream(test_paths, batch_size)
         rng = jax.random.PRNGKey(cfg.seed)
-        outs, valid = [], []
+        # VIPTPU_E2E_BATCH_TIMES=<path>: diagnostic mode — fetch each batch
+        # synchronously and record its end-to-end latency (decode wait + H2D +
+        # compute + D2H) to a JSON file. Default path stays fully pipelined
+        # (dispatches queue; one fetch at the end).
+        times_path = os.environ.get("VIPTPU_E2E_BATCH_TIMES", "")
+        outs, valid, batch_times = [], [], []
         for batch, n_valid in batches:
             rng, sub = jax.random.split(rng)
-            outs.append(fwd(all_variables, batch, sub))
+            if times_path:
+                t0 = time.perf_counter()
+                outs.append(np.asarray(fwd(all_variables, batch, sub)))
+                batch_times.append(time.perf_counter() - t0)
+            else:
+                outs.append(fwd(all_variables, batch, sub))
             valid.append(n_valid)
+        if times_path:
+            with open(times_path, "w") as fh:
+                json.dump({"batch_size": batch_size,
+                           "batch_e2e_s": batch_times}, fh)
         pred = np.concatenate([np.asarray(o)[:nv] for o, nv in zip(outs, valid)], 0)
 
         out_df = pd.DataFrame({"filename": np.array(test_names), "logit": pred[:, 0]})

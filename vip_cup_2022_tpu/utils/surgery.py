@@ -154,3 +154,137 @@ def replace_activation(cfg, target_activation: str):
     """Configs are the graph here: rebuilding with a different activation is
     the kecam ``replace_ReLU`` equivalent."""
     return cfg.replace(activation=target_activation) if hasattr(cfg, "activation") else cfg
+
+
+# -- stochastic depth add<->swap ---------------------------------------------
+# Config-level analogues of kecam model_surgery.py:188-271: models here are
+# rebuilt from dataclass configs, and every family expresses its residual
+# drop-path as ONE terminal rate that block builders spread linearly over
+# depth (rate * block_index / total — exactly the reference's
+# ``start - (1 - end) * i / total`` survival ramp with start=1, end=1-rate).
+
+_DROP_FIELDS = ("drop_path_rate", "drop_connect_rate")
+
+
+def _drop_field(cfg) -> str:
+    for f in _DROP_FIELDS:
+        if hasattr(cfg, f):
+            return f
+    raise ValueError(
+        f"config {type(cfg).__name__} has no stochastic-depth field "
+        f"(looked for {_DROP_FIELDS})"
+    )
+
+
+def add_stochastic_depth(cfg, survivals=(1.0, 0.8)):
+    """``replace_add_with_stochastic_depth`` analogue (model_surgery.py:188-219):
+    set the config's terminal drop-path rate from a survival spec. ``survivals``
+    is a float (constant survival) or ``(start, end)`` linear ramp; the ramp
+    must start at 1.0 — that is the only schedule the linspace block builders
+    can express (and the only one the reference's own models use). Rebuild the
+    module from the returned config and re-use the same variables (drop-path
+    has no weights)."""
+    if isinstance(survivals, (tuple, list)):
+        start, end = survivals
+        if abs(start - 1.0) > 1e-6:
+            raise ValueError(
+                f"survival ramps must start at 1.0 (got {start}); the config "
+                "parametrizes drop-path as a 0->rate linspace over depth"
+            )
+        rate = 1.0 - float(end)
+    else:
+        raise ValueError(
+            "constant per-block survival is not expressible as the configs' "
+            "linear ramp; pass (1.0, end)"
+        )
+    return cfg.replace(**{_drop_field(cfg): rate})
+
+
+def remove_stochastic_depth(cfg):
+    """``replace_stochastic_depth_with_add(drop_survival=True)`` analogue
+    (model_surgery.py:258-271): zero the drop-path rate. DropPath modules are
+    identity at rate 0 (and in eval mode regardless), so existing variables
+    keep working on the rebuilt module."""
+    return cfg.replace(**{_drop_field(cfg): 0.0})
+
+
+# -- input-shape change -------------------------------------------------------
+
+def _maybe_square_grid(n: int):
+    r = int(round(n ** 0.5))
+    return (r, r) if r * r == n else None
+
+
+def change_input_shape(name: str, variables, new_input_size, method: str = "bilinear",
+                       **overrides):
+    """Rebuild model ``name`` at ``new_input_size`` and transfer weights,
+    interpolating every position-dependent parameter whose shape changed
+    (kecam model_surgery.py:170-185 ``change_model_input_shape`` + the
+    download_and_load.py:50-79 pos-emb mismatch reload, in one call).
+
+    Handled mismatches, matched structurally (all other params copy 1:1 via
+    :func:`..models.factory.transfer_weights`):
+    - ``(1, N, C)`` token pos-embeds (ViT/CaiT/PVT) — prefix tokens (cls/dist)
+      preserved, grid bilinearly resized
+    - ``(1, H, W, C)`` / ``(1, C, H, W)`` spatial pos-embeds (PiT)
+    - ``(M, heads)`` relative-position bias tables with M=(2H-1)*(2W-1)
+      (Swin/GCViT) — resized on the (2H-1, 2W-1) grid
+
+    Returns ``(module, variables, cfg)`` like ``create_model``.
+    """
+    from ..models.factory import create_model, transfer_weights
+    from ..ops.resize import resize, resize_positional_embedding
+
+    module, new_vars, cfg = create_model(
+        name, input_size=tuple(new_input_size), **overrides
+    )
+    src = flatten_dict(variables)
+    dst = flatten_dict(new_vars)
+    out = dict(dst)
+    patched = set()
+    for path, dv in dst.items():
+        sv = src.get(path)
+        if sv is None or tuple(sv.shape) == tuple(dv.shape):
+            continue
+        sv = jnp.asarray(np.asarray(sv), dtype=dv.dtype)
+        fixed = None
+        if sv.ndim == 3 and sv.shape[0] == 1 and sv.shape[-1] == dv.shape[-1]:
+            # token pos-embed: find a prefix length making both grids square
+            for prefix in (0, 1, 2):
+                sg = _maybe_square_grid(sv.shape[1] - prefix)
+                dg = _maybe_square_grid(dv.shape[1] - prefix)
+                if sg and dg:
+                    fixed = resize_positional_embedding(
+                        sv, sg, dg, num_prefix_tokens=prefix
+                    )
+                    break
+        elif sv.ndim == 4 and sv.shape[0] == 1:
+            if sv.shape[-1] == dv.shape[-1]:  # NHWC
+                fixed = resize(sv, dv.shape[1:3], method=method)
+            elif sv.shape[1] == dv.shape[1]:  # NCHW (PiT)
+                fixed = jnp.transpose(
+                    resize(jnp.transpose(sv, (0, 2, 3, 1)), dv.shape[2:4],
+                           method=method),
+                    (0, 3, 1, 2),
+                )
+        elif sv.ndim == 2 and sv.shape[-1] == dv.shape[-1]:
+            # relative bias table (M, heads), M = (2H-1)*(2W-1)
+            sg = _maybe_square_grid(sv.shape[0])
+            dg = _maybe_square_grid(dv.shape[0])
+            if sg and dg and sg[0] % 2 == 1 and dg[0] % 2 == 1:
+                grid = sv.reshape(1, sg[0], sg[1], sv.shape[-1])
+                grid = resize(grid, dg, method=method)
+                fixed = grid.reshape(dg[0] * dg[1], sv.shape[-1])
+        if fixed is not None and tuple(fixed.shape) == tuple(dv.shape):
+            out[path] = fixed.astype(dv.dtype)
+            patched.add(path)
+    # hand transfer_weights a source where the patched params already have
+    # the destination shapes (exact copies), so everything else follows the
+    # standard copy/adapt/warn rules with no false mismatch reports
+    merged_src = dict(src)
+    for k in patched:
+        merged_src[k] = out[k]
+    merged = transfer_weights(
+        unflatten_dict(merged_src), new_vars, on_mismatch="warn"
+    )
+    return module, merged, cfg
