@@ -234,6 +234,26 @@ def main():
     bump = jax.jit(lambda x, i: x + jnp.uint8(i))
     inputs = [jax.block_until_ready(bump(base, i)) for i in range(REPS + 1)]
 
+    # int8 PTQ members (production default 'auto' = the measured-win set;
+    # VIPTPU_INT8=off for the pure-bf16 arm). Calibration runs as one jitted
+    # program per member on the synthetic batch (engine._calibrate_member).
+    int8_names = engine._int8_names()
+    quant_scales = None
+    int8_applied = []
+    if int8_names:
+        quant_scales = []
+        for (module, dim), fold_vars, (dirname, _d) in zip(
+            members, all_variables, ENSEMBLE
+        ):
+            name = registry_name(dirname)
+            if "*" in int8_names or name in int8_names:
+                quant_scales.append(
+                    engine._calibrate_member(module, fold_vars[0], dim, base)
+                )
+                int8_applied.append(name)
+            else:
+                quant_scales.append(None)
+
     key = jax.random.PRNGKey(0)
     t_compile = time.time()
     path = "fused_whole_ensemble (production default)"
@@ -241,7 +261,8 @@ def main():
     p50_ms, lats_ms = None, None
     flops_batch = 0.0
     try:
-        fused = engine.build_fused_ensemble(members, tta=1)
+        fused = engine.build_fused_ensemble(members, tta=1,
+                                            quant_scales=quant_scales)
         fused_call = lambda x: fused(all_variables, x, key)  # noqa: E731
         per_fwd, timing_detail = time_program(fused_call, inputs)
         p50, lats_ms = batch_latency(fused_call, inputs)
@@ -276,6 +297,7 @@ def main():
         "backend": jax.default_backend(),
         "n_chips": len(jax.devices()),
         "compile_plus_first_pass_s": round(compile_s, 1),
+        "int8_members": int8_applied,
         "timing": timing_detail,
         "note": "each image passes through every ensemble member; "
                 "north star predates the stride-2 ConvNeXt finding "
@@ -330,7 +352,8 @@ def main():
         old_env = os.environ.get("VIPTPU_NO_FUSED_BLOCK")
         try:
             os.environ["VIPTPU_NO_FUSED_BLOCK"] = "1"
-            xla_prog = engine.build_fused_ensemble(members, tta=1)
+            xla_prog = engine.build_fused_ensemble(
+                members, tta=1, quant_scales=quant_scales)
             p_xla = np.asarray(xla_prog(all_variables, inputs[0], key))
             p_fused = np.asarray(fused(all_variables, inputs[0], key))
             max_dp = float(np.max(np.abs(p_fused - p_xla)))

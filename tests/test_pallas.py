@@ -208,15 +208,23 @@ class TestFusedGCViTBlock:
         m1, v1, _ = create_model("gcvit_xxtiny", fused_block=True, **kw)
         m0, _, _ = create_model("gcvit_xxtiny", fused_block=False, init=False, **kw)
         x = jnp.asarray(rng.uniform(0, 1, (2, 224, 224, 3)).astype(np.float32))
-        try:
-            os.environ["VIPTPU_GCVIT_PACK"] = "1"
-            y1 = m1.apply(v1, x)                  # pack=2 at L1
-        finally:
-            os.environ.pop("VIPTPU_GCVIT_PACK", None)
+        packed = {}
+        for gemm_mode in ("rows", "kron"):
+            try:
+                os.environ["VIPTPU_GCVIT_PACK"] = "1"
+                os.environ["VIPTPU_GCVIT_PACK_GEMM"] = gemm_mode
+                packed[gemm_mode] = m1.apply(v1, x)   # pack=2 at L1
+            finally:
+                os.environ.pop("VIPTPU_GCVIT_PACK", None)
+                os.environ.pop("VIPTPU_GCVIT_PACK_GEMM", None)
         y0 = m0.apply(v1, x)                      # flax reference
-        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+        for gemm_mode, y1 in packed.items():
+            np.testing.assert_allclose(
+                np.asarray(y1), np.asarray(y0), atol=1e-5,
+                err_msg=f"pack_gemm={gemm_mode}")
         y2 = m1.apply(v1, x)                      # unpacked pipeline (default)
-        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        np.testing.assert_array_equal(np.asarray(packed["rows"]), np.asarray(y2))
+        np.testing.assert_array_equal(np.asarray(packed["kron"]), np.asarray(y2))
 
     def test_pack_lanes_roundtrip(self):
         from vip_cup_2022_tpu.ops.pallas.gcvit_block import (pack_lanes,

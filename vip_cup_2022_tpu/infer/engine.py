@@ -243,20 +243,35 @@ class EnsembleEngine:
             return module.apply(variables, x).astype(jnp.float32)
 
         return jax.jit(forward, in_shardings=(None, batch_sharding(self.mesh), None),
+                       out_shardings=batch_sharding(self.mesh),
                        compiler_options=compiler_options())
 
     # ------------------------------------------------------------------
     # int8 quantized inference (quant/ptq.py; VIPTPU_INT8)
     # ------------------------------------------------------------------
+    # Members where the PTQ int8 path is a measured THROUGHPUT WIN on v5e
+    # (NOTES_r3 member A/Bs: ResNetRS50 +17%, ResNest50 +6%; ECA_NFNetL0
+    # -5%, EfficientNetV2T -7%, EfficientNetV1B4 -14% — their depthwise-
+    # heavy graphs pay more in requant than the MXU saves). This is the
+    # 'auto' set, the production default on TPU.
+    INT8_AUTO = ("ResNetRS50", "ResNest50")
+
     @staticmethod
     def _int8_names() -> set:
-        """VIPTPU_INT8: '' (off), '1'/'all' (every member), or a comma list
+        """VIPTPU_INT8: 'auto' (default on TPU — the INT8_AUTO measured-win
+        set), '0'/'off' (disable), '1'/'all' (every member), or a comma list
         of registry names ('ResNetRS50,ECA_NFNetL0'). Members run the PTQ
         int8 conv/dense path (quant/ptq.py) after a one-batch calibration.
-        Measure the decision-flip rate (tools/flip_rate.py) before trusting
-        int8 for a new checkpoint family, exactly as with bf16."""
-        env = os.environ.get("VIPTPU_INT8", "").strip()
-        if not env:
+        Decision parity is measured (tools/flip_rate.py --int8, PARITY.md):
+        re-measure before trusting int8 for a new checkpoint family, exactly
+        as with bf16. Off-TPU the default is off (the int8 path exists for
+        parity tests but CPU has no int8 matrix unit)."""
+        env = os.environ.get("VIPTPU_INT8", "auto").strip()
+        if env.lower() == "auto":
+            if jax.default_backend() != "tpu":
+                return set()
+            return set(EnsembleEngine.INT8_AUTO)
+        if not env or env.lower() in ("0", "off", "false"):
             return set()
         if env.lower() in ("1", "all", "true"):
             return {"*"}
@@ -398,8 +413,16 @@ class EnsembleEngine:
             # exports (a per-chip program, replicated by the serving layer —
             # reference per-replica predict split, main.py:106-109)
             return jax.jit(forward, compiler_options=compiler_options())
+        # out_shardings keeps the (B, 1) result sharded on 'data': the whole
+        # program is batch-parallel, so this removes the only cross-device
+        # collective (an output-replicating all-gather) — the host fetch
+        # gathers instead. (Also what lets the CPU-mesh dryrun of the full
+        # 7-member program run: XLA:CPU's rendezvous watchdog kills any
+        # collective whose participants arrive >40 s apart, which minutes-
+        # long interpret-mode shards trivially do.)
         return jax.jit(
             forward, in_shardings=(None, batch_sharding(self.mesh), None),
+            out_shardings=batch_sharding(self.mesh),
             compiler_options=compiler_options(),
         )
 

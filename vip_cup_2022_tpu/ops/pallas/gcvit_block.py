@@ -84,6 +84,39 @@ def _pack_weight(w, pack):
     return jnp.kron(jnp.eye(pack, dtype=w.dtype), jnp.asarray(w))
 
 
+def pack_gemm_mode() -> str:
+    """How lane-packed kernels run their dense GEMMs:
+    'rows' (default) — slice each image's lane span and row-concatenate, so
+    the GEMM uses the ORIGINAL per-image weights at pack*M rows: zero extra
+    FLOPs, two lane<->sublane shuffles per GEMM.
+    'kron' — block-diagonal (pack*C, pack*D) weights: one packed GEMM, but
+    pack x the per-image FLOPs (the r3 lane-packing loss, NOTES_r3)."""
+    return os.environ.get("VIPTPU_GCVIT_PACK_GEMM", "rows")
+
+
+def _rows_unpack(y, pack):
+    """(t, pack*C0) lane-packed -> (pack*t, C0) row-stacked (per-image rows
+    in image order). Value-level slices/concats — legal on Mosaic."""
+    if pack == 1:
+        return y
+    t, c = y.shape
+    c0 = c // pack
+    return jnp.concatenate(
+        [jax.lax.slice(y, (0, i * c0), (t, (i + 1) * c0)) for i in range(pack)],
+        axis=0)
+
+
+def _rows_pack(o, pack):
+    """Inverse of :func:`_rows_unpack`: (pack*t, C0) -> (t, pack*C0)."""
+    if pack == 1:
+        return o
+    pt, c0 = o.shape
+    t = pt // pack
+    return jnp.concatenate(
+        [jax.lax.slice(o, (i * t, 0), ((i + 1) * t, c0)) for i in range(pack)],
+        axis=1)
+
+
 def _pack_vec(v, pack):
     if pack == 1:
         return v
@@ -128,13 +161,26 @@ def _mm_dtype(x_dtype, *dims, force=None):
 # kernel 1: LN + dense (qkv projection)
 # ---------------------------------------------------------------------------
 def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, *o_refs, eps,
-                     mm_dtype, pack=1):
+                     mm_dtype, pack=1, rows=False):
     xf = x_ref[:].astype(jnp.float32)
     y = _ln_normalize(xf, pack, eps)
     y = y * g_ref[:] + b_ref[:]
+    split = len(o_refs)
+    if rows and pack > 1:
+        # per-image GEMM at pack*M rows with the ORIGINAL (C0, D0) weights:
+        # no kron FLOP multiplication; outputs re-packed to the lane layout
+        # the attention kernel expects ([img0 | img1] per split component)
+        t = y.shape[0]
+        y2 = _rows_unpack(y, pack)                    # (pack*t, C0)
+        o = jnp.dot(y2.astype(mm_dtype), w_ref[:],
+                    preferred_element_type=jnp.float32) + wb_ref[:]
+        d0 = o.shape[1] // split
+        for s, o_ref in enumerate(o_refs):
+            cols = jax.lax.slice(o, (0, s * d0), (pack * t, (s + 1) * d0))
+            o_ref[:] = _rows_pack(cols, pack).astype(o_ref.dtype)
+        return
     o = jnp.dot(y.astype(mm_dtype), w_ref[:], preferred_element_type=jnp.float32)
     o = o + wb_ref[:]
-    split = len(o_refs)
     width = o.shape[1] // split
     for s, o_ref in enumerate(o_refs):
         o_ref[:] = o[:, s * width : (s + 1) * width].astype(o_ref.dtype)
@@ -146,24 +192,30 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
     ``split`` > 1 the (M, D) result is returned as ``split`` separate
     (M, D/split) arrays (q/k/v), keeping each output's lane dim equal to its
     full array width — the layout the attention kernel's BlockSpecs need.
-    With ``pack`` > 1, x2 is lane-packed (see pack_lanes): weights/LN params
-    are per-image (C/pack wide) and get block-diagonal/tiled here; each split
-    component's output keeps the packed lane layout [img0 | img1]."""
+    With ``pack`` > 1, x2 is lane-packed (see pack_lanes): LN params are
+    per-image (C/pack wide) and get tiled here; the GEMM runs per
+    :func:`pack_gemm_mode` — 'rows' keeps the original per-image weights
+    (row-folded in-kernel, zero extra FLOPs), 'kron' block-diagonalizes
+    them. Each split component's output keeps the packed lane layout
+    [img0 | img1]."""
+    rows = pack > 1 and pack_gemm_mode() == "rows"
     if pack > 1:
-        d0 = w.shape[1] // split
-        w = jnp.concatenate(
-            [_pack_weight(w[:, j * d0:(j + 1) * d0], pack)
-             for j in range(split)], axis=1)
-        wb = jnp.concatenate(
-            [_pack_vec(wb[j * d0:(j + 1) * d0], pack) for j in range(split)])
         ln_g = _pack_vec(ln_g, pack)
         ln_b = _pack_vec(ln_b, pack)
+        if not rows:
+            d0 = w.shape[1] // split
+            w = jnp.concatenate(
+                [_pack_weight(w[:, j * d0:(j + 1) * d0], pack)
+                 for j in range(split)], axis=1)
+            wb = jnp.concatenate(
+                [_pack_vec(wb[j * d0:(j + 1) * d0], pack)
+                 for j in range(split)])
     m, c = x2.shape
-    d = w.shape[1]
-    width = d // split
+    d = w.shape[1]  # rows mode: split*D0 (original); kron: pack*split*D0
+    width = (pack * d // split) if rows else (d // split)
     mm_dtype = _mm_dtype(x2.dtype, c, d, force=force_mm_dtype)
     kern = functools.partial(_ln_dense_kernel, eps=eps, mm_dtype=mm_dtype,
-                             pack=pack)
+                             pack=pack, rows=rows)
     if x2.dtype == jnp.float32:
         row_tile //= 2  # f32 tiles are 2x the bytes; stay under scoped VMEM
     if c < 128:
@@ -179,7 +231,7 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
             pl.BlockSpec((t, c), lambda i: (i, 0)),
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c,), lambda i: (0,)),
-            pl.BlockSpec((c, d), lambda i: (0, 0)),
+            pl.BlockSpec((c // pack if rows else c, d), lambda i: (0, 0)),
             pl.BlockSpec((d,), lambda i: (0,)),
         ],
         out_specs=tuple(
@@ -498,7 +550,26 @@ def grouped_window_attention(
 # ---------------------------------------------------------------------------
 def _tail_kernel(a_ref, x_ref, wp_ref, bp_ref, g1_ref, lg_ref, lb_ref,
                  w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, o_ref, *, eps,
-                 mm_dtype, gelu="erf", pack=1):
+                 mm_dtype, gelu="erf", pack=1, rows=False):
+    if rows and pack > 1:
+        # row-fold GEMMs with per-image weights (see _ln_dense_kernel);
+        # everything elementwise (residuals, LN, layer-scale) stays on the
+        # full-lane packed tiles
+        a2 = _rows_unpack(a_ref[:].astype(mm_dtype), pack)
+        proj = jnp.dot(a2, wp_ref[:],
+                       preferred_element_type=jnp.float32) + bp_ref[:]
+        r1 = x_ref[:].astype(jnp.float32) + _rows_pack(proj, pack) * g1_ref[:]
+        y = _ln_normalize(r1, pack, eps)
+        y = y * lg_ref[:] + lb_ref[:]
+        y2 = _rows_unpack(y, pack)
+        h = jnp.dot(y2.astype(mm_dtype), w1_ref[:],
+                    preferred_element_type=jnp.float32) + b1_ref[:]
+        h = _gelu(h, gelu)
+        o = jnp.dot(h.astype(mm_dtype), w2_ref[:],
+                    preferred_element_type=jnp.float32) + b2_ref[:]
+        o = r1 + _rows_pack(o, pack) * g2_ref[:]
+        o_ref[:] = o.astype(o_ref.dtype)
+        return
     proj = jnp.dot(a_ref[:].astype(mm_dtype), wp_ref[:],
                    preferred_element_type=jnp.float32) + bp_ref[:]
     r1 = x_ref[:].astype(jnp.float32) + proj * g1_ref[:]
@@ -519,39 +590,45 @@ def proj_res_ln_mlp(
     interpret=False,
 ):
     """x + g1*proj(attn) then +g2*MLP(LN(.)) over flat (M, C) tokens.
-    ``pack`` > 1: lane-packed tokens; per-image weights go block-diagonal
-    (see ln_dense)."""
+    ``pack`` > 1: lane-packed tokens; GEMMs per :func:`pack_gemm_mode`
+    ('rows' keeps per-image weights, 'kron' block-diagonalizes)."""
+    rows = pack > 1 and pack_gemm_mode() == "rows"
     if pack > 1:
-        wp, w1, w2 = (_pack_weight(w_, pack) for w_ in (wp, w1, w2))
-        bp, gamma1, ln_g, ln_b, b1, b2, gamma2 = (
-            _pack_vec(v_, pack)
-            for v_ in (bp, gamma1, ln_g, ln_b, b1, b2, gamma2))
+        # vectors applied on PACKED (t, pack*C0) tiles tile x pack; in rows
+        # mode the GEMM biases (bp/b1/b2) add onto ROW-FOLDED (pack*t, .)
+        # outputs and keep their original per-image width
+        gamma1, ln_g, ln_b, gamma2 = (
+            _pack_vec(v_, pack) for v_ in (gamma1, ln_g, ln_b, gamma2))
+        if not rows:
+            wp, w1, w2 = (_pack_weight(w_, pack) for w_ in (wp, w1, w2))
+            bp, b1, b2 = (_pack_vec(v_, pack) for v_ in (bp, b1, b2))
     m, c = x2.shape
     hidden = w1.shape[1]
     mm_dtype = _mm_dtype(x2.dtype, c, hidden, force=force_mm_dtype)
     kern = functools.partial(_tail_kernel, eps=eps, mm_dtype=mm_dtype,
-                             gelu=gelu_flavor(gelu), pack=pack)
+                             gelu=gelu_flavor(gelu), pack=pack, rows=rows)
     if x2.dtype == jnp.float32:
         row_tile //= 2  # f32 tiles are 2x the bytes (see ln_dense)
     if c < 128:
         row_tile *= 128 // c  # narrow-C: see ln_dense
     t = min(row_tile, max(8, -(-m // 8) * 8))  # small-M clamp (see ln_dense)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    c0 = c // pack if rows else c  # per-image width for rows-mode weights
     return pl.pallas_call(
         kern,
         grid=(pl.cdiv(m, t),),
         in_specs=[
             pl.BlockSpec((t, c), lambda i: (i, 0)),
             pl.BlockSpec((t, c), lambda i: (i, 0)),
-            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c0, c0), lambda i: (0, 0)),
+            pl.BlockSpec((c0,), lambda i: (0,)),
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c,), lambda i: (0,)),
-            pl.BlockSpec((c,), lambda i: (0,)),
-            pl.BlockSpec((c, hidden), lambda i: (0, 0)),
+            pl.BlockSpec((c0, hidden), lambda i: (0, 0)),
             pl.BlockSpec((hidden,), lambda i: (0,)),
-            pl.BlockSpec((hidden, c), lambda i: (0, 0)),
-            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((hidden, c0), lambda i: (0, 0)),
+            pl.BlockSpec((c0,), lambda i: (0,)),
             pl.BlockSpec((c,), lambda i: (0,)),
         ],
         out_specs=pl.BlockSpec((t, c), lambda i: (i, 0)),
