@@ -80,6 +80,16 @@ VARIANTS = {
     # pass full-width. MEASURED NEGATIVE (3,384-3,435 vs 3,598 img/s): the
     # block-diagonal weights double per-image GEMM FLOPs. Default off.
     "gcvit_pack": ("GCViTTiny", (224, 224), {}, {"VIPTPU_GCVIT_PACK": "1"}),
+    # pack with rows-GEMM in f32 (is the Mosaic HTTP 500 on pack-rows the
+    # bf16 lane-slice-derived-LHS crash class?)
+    "gcvit_pack_f32": ("GCViTTiny", (224, 224), {},
+                       {"VIPTPU_GCVIT_PACK": "1", "VIPTPU_GCVIT_MM": "f32"}),
+    # pack with the round-3 kron block-diagonal GEMMs (control: compiled
+    # and ran in r3, so if rows crashes and kron doesn't, the row-fold
+    # shuffles are the trigger)
+    "gcvit_pack_kron": ("GCViTTiny", (224, 224), {},
+                        {"VIPTPU_GCVIT_PACK": "1",
+                         "VIPTPU_GCVIT_PACK_GEMM": "kron"}),
     # unrolled per-window attention: no GxG masked score matrix (kills the
     # 8x softmax waste at L1) and linear-VMEM bias -> the L4 batch-fold
     # becomes legal again

@@ -369,6 +369,15 @@ class EnsembleEngine:
             raise ValueError(f"VIPTPU_TTA_MODE={tta_mode!r} not in map|fold")
 
         def forward(all_variables, u8, rng):
+            if tta > 1:
+                # under shard_map each shard must draw DISTINCT augment
+                # keys; outside (1-device/unsharded) fold_in(0) is a no-op
+                # difference applied uniformly, so results stay deterministic
+                try:
+                    rng = jax.random.fold_in(
+                        rng, jax.lax.axis_index("data"))
+                except NameError:  # not inside shard_map: keep global key
+                    pass
             x0 = u8.astype(jnp.float32) / 255.0
             # one resize per DISTINCT member size (GCViT + EffV1B4 share 224)
             by_dim = {}
@@ -413,18 +422,25 @@ class EnsembleEngine:
             # exports (a per-chip program, replicated by the serving layer —
             # reference per-replica predict split, main.py:106-109)
             return jax.jit(forward, compiler_options=compiler_options())
-        # out_shardings keeps the (B, 1) result sharded on 'data': the whole
-        # program is batch-parallel, so this removes the only cross-device
-        # collective (an output-replicating all-gather) — the host fetch
-        # gathers instead. (Also what lets the CPU-mesh dryrun of the full
-        # 7-member program run: XLA:CPU's rendezvous watchdog kills any
-        # collective whose participants arrive >40 s apart, which minutes-
-        # long interpret-mode shards trivially do.)
-        return jax.jit(
-            forward, in_shardings=(None, batch_sharding(self.mesh), None),
-            out_shardings=batch_sharding(self.mesh),
-            compiler_options=compiler_options(),
+        # Manual SPMD via shard_map: the ensemble is embarrassingly batch-
+        # parallel, so each device runs the complete per-shard program with
+        # ZERO collectives — the TPU-native form of the reference's
+        # per-replica predict split (main.py:106-109). Under plain
+        # jit+GSPMD the pallas custom calls (no sharding rule) forced
+        # replicate-reshard all-to-alls around every fused block, and the
+        # output picked up an all-gather; both are gone here, and the
+        # result stays batch-sharded (the host fetch gathers).
+        # check_rep=False: replication checking can't see through the
+        # pallas custom calls.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        sharded_fwd = shard_map(
+            forward, mesh=self.mesh,
+            in_specs=(P(), P("data"), P()), out_specs=P("data"),
+            check_rep=False,
         )
+        return jax.jit(sharded_fwd, compiler_options=compiler_options())
 
     # ------------------------------------------------------------------
     # prediction

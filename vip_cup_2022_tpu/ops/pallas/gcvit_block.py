@@ -94,27 +94,30 @@ def pack_gemm_mode() -> str:
     return os.environ.get("VIPTPU_GCVIT_PACK_GEMM", "rows")
 
 
-def _rows_unpack(y, pack):
-    """(t, pack*C0) lane-packed -> (pack*t, C0) row-stacked (per-image rows
-    in image order). Value-level slices/concats — legal on Mosaic."""
-    if pack == 1:
-        return y
+def _lane_slices(y, pack):
+    """Per-image lane spans of a packed (t, pack*C0) value: pack (t, C0)
+    slices. Lane slices of VALUES are the construct the r3 packed attention
+    kernel already compiles on v5e Mosaic (sublane-axis concat/slice of
+    lane-sliced values, by contrast, crashes the backend — measured HTTP 500
+    from the compile helper in both bf16 and f32)."""
     t, c = y.shape
     c0 = c // pack
-    return jnp.concatenate(
-        [jax.lax.slice(y, (0, i * c0), (t, (i + 1) * c0)) for i in range(pack)],
-        axis=0)
+    return [jax.lax.slice(y, (0, i * c0), (t, (i + 1) * c0))
+            for i in range(pack)]
 
 
-def _rows_pack(o, pack):
-    """Inverse of :func:`_rows_unpack`: (pack*t, C0) -> (t, pack*C0)."""
-    if pack == 1:
-        return o
-    pt, c0 = o.shape
-    t = pt // pack
-    return jnp.concatenate(
-        [jax.lax.slice(o, (i * t, 0), ((i + 1) * t, c0)) for i in range(pack)],
-        axis=1)
+def _per_image_dot(y, w_ref, bias, pack, mm_dtype):
+    """GEMM each image's lane span against the ORIGINAL (C0, D0) weights and
+    lane-concat the results back to packed layout: (t, pack*C0) ->
+    (t, pack*D0). pack small independent GEMMs instead of one row-folded
+    (pack*t, C0) GEMM — identical FLOPs, and avoids the sublane concat that
+    crashes Mosaic."""
+    outs = []
+    for yi in _lane_slices(y, pack):
+        o = jnp.dot(yi.astype(mm_dtype), w_ref[:],
+                    preferred_element_type=jnp.float32)
+        outs.append(o if bias is None else o + bias)
+    return outs
 
 
 def _pack_vec(v, pack):
@@ -167,17 +170,16 @@ def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, *o_refs, eps,
     y = y * g_ref[:] + b_ref[:]
     split = len(o_refs)
     if rows and pack > 1:
-        # per-image GEMM at pack*M rows with the ORIGINAL (C0, D0) weights:
-        # no kron FLOP multiplication; outputs re-packed to the lane layout
-        # the attention kernel expects ([img0 | img1] per split component)
+        # per-image GEMMs with the ORIGINAL (C0, D0) weights: no kron FLOP
+        # multiplication; outputs re-packed to the lane layout the attention
+        # kernel expects ([img0 | img1] per split component)
         t = y.shape[0]
-        y2 = _rows_unpack(y, pack)                    # (pack*t, C0)
-        o = jnp.dot(y2.astype(mm_dtype), w_ref[:],
-                    preferred_element_type=jnp.float32) + wb_ref[:]
-        d0 = o.shape[1] // split
+        per_img = _per_image_dot(y, w_ref, wb_ref[:], pack, mm_dtype)
+        d0 = per_img[0].shape[1] // split
         for s, o_ref in enumerate(o_refs):
-            cols = jax.lax.slice(o, (0, s * d0), (pack * t, (s + 1) * d0))
-            o_ref[:] = _rows_pack(cols, pack).astype(o_ref.dtype)
+            o_ref[:] = jnp.concatenate(
+                [jax.lax.slice(o, (0, s * d0), (t, (s + 1) * d0))
+                 for o in per_img], axis=1).astype(o_ref.dtype)
         return
     o = jnp.dot(y.astype(mm_dtype), w_ref[:], preferred_element_type=jnp.float32)
     o = o + wb_ref[:]
@@ -552,22 +554,23 @@ def _tail_kernel(a_ref, x_ref, wp_ref, bp_ref, g1_ref, lg_ref, lb_ref,
                  w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, o_ref, *, eps,
                  mm_dtype, gelu="erf", pack=1, rows=False):
     if rows and pack > 1:
-        # row-fold GEMMs with per-image weights (see _ln_dense_kernel);
+        # per-image GEMMs with per-image weights (see _ln_dense_kernel);
         # everything elementwise (residuals, LN, layer-scale) stays on the
         # full-lane packed tiles
-        a2 = _rows_unpack(a_ref[:].astype(mm_dtype), pack)
-        proj = jnp.dot(a2, wp_ref[:],
-                       preferred_element_type=jnp.float32) + bp_ref[:]
-        r1 = x_ref[:].astype(jnp.float32) + _rows_pack(proj, pack) * g1_ref[:]
+        proj = jnp.concatenate(
+            _per_image_dot(a_ref[:], wp_ref, bp_ref[:], pack, mm_dtype),
+            axis=1)
+        r1 = x_ref[:].astype(jnp.float32) + proj * g1_ref[:]
         y = _ln_normalize(r1, pack, eps)
         y = y * lg_ref[:] + lb_ref[:]
-        y2 = _rows_unpack(y, pack)
-        h = jnp.dot(y2.astype(mm_dtype), w1_ref[:],
-                    preferred_element_type=jnp.float32) + b1_ref[:]
-        h = _gelu(h, gelu)
-        o = jnp.dot(h.astype(mm_dtype), w2_ref[:],
-                    preferred_element_type=jnp.float32) + b2_ref[:]
-        o = r1 + _rows_pack(o, pack) * g2_ref[:]
+        outs = []
+        for yi in _lane_slices(y, pack):
+            h = jnp.dot(yi.astype(mm_dtype), w1_ref[:],
+                        preferred_element_type=jnp.float32) + b1_ref[:]
+            h = _gelu(h, gelu)
+            outs.append(jnp.dot(h.astype(mm_dtype), w2_ref[:],
+                                preferred_element_type=jnp.float32) + b2_ref[:])
+        o = r1 + jnp.concatenate(outs, axis=1) * g2_ref[:]
         o_ref[:] = o.astype(o_ref.dtype)
         return
     proj = jnp.dot(a_ref[:].astype(mm_dtype), wp_ref[:],
