@@ -352,7 +352,13 @@ def test_export_artifact_roundtrip(tmp_path):
         batch_size=8, member_names=names,
     )
     assert sorted(os.listdir(art)) == [
-        "manifest.json", "program.jaxexport", "weights.msgpack"]
+        "manifest.json", "program.jaxexport", "weights.msgpack",
+        "weights.msgpack.md5"]
+    from vip_cup_2022_tpu.utils.checkpoint import file_md5
+
+    with open(os.path.join(art, "weights.msgpack.md5")) as fh:
+        assert fh.read().split()[0] == file_md5(
+            os.path.join(art, "weights.msgpack"))
 
     call, weights, manifest = load_exported(art)
     assert manifest["members"] == names
