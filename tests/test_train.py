@@ -383,3 +383,34 @@ def test_trainer_schedules_snapshots_logger_intacc(tiny_model, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="lr_schedule"):
         Trainer(module, variables, TrainConfig(lr_schedule="nope"))
+
+
+def test_keep_checkpoint_every_n_hours(tiny_model, tmp_path):
+    """keep_checkpoint_every_n_hours: a snapshot due for max_to_keep pruning
+    is preserved permanently when >= n hours separate it from the last
+    preserved one (tf.train.CheckpointManager semantics; the reference
+    hardcodes 12 h — tfimm train/trainer.py:254-259)."""
+    module, variables, _ = tiny_model
+    cfg = TrainConfig(
+        ckpt_dir=str(tmp_path), basic_save_name="ret", monitor="loss",
+        keep_n_checkpoints=1, keep_checkpoint_every_n_hours=12.0,
+    )
+    tr = Trainer(module, variables, cfg)
+    # fake clock: one snapshot every 5 "hours" starting at t=0
+    t = {"now": 0.0}
+    tr._clock = lambda: t["now"]
+    tr._last_preserved_ts = 0.0
+    for epoch in range(1, 6):
+        t["now"] = (epoch - 1) * 5 * 3600.0  # epochs at 0,5,10,15,20 h
+        tr._save_epoch_snapshot(epoch)
+    import re
+    snaps = sorted(
+        p for p in os.listdir(tmp_path)
+        if re.fullmatch(r"ret_epoch\d{3}\.msgpack", p)
+    )
+    # pruning compares each pruned snapshot's OWN save time to the last
+    # preserved baseline (t=0): epochs 1-3 (t=0,5,10 h < 12 h) delete;
+    # epoch4 (t=15 h >= 12 h) is preserved and resets the baseline;
+    # epoch5 is the max_to_keep=1 survivor
+    assert snaps == ["ret_epoch004.msgpack", "ret_epoch005.msgpack"]
+    assert tr._preserved_ckpts == [str(tmp_path / "ret_epoch004.msgpack")]

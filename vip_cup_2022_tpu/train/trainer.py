@@ -71,6 +71,11 @@ class TrainConfig:
     # > 0: also keep per-epoch snapshots, pruned to the newest N (the
     # tf.train.CheckpointManager max_to_keep role); 0: latest + best only
     keep_n_checkpoints: int = 0
+    # > 0: a snapshot about to be pruned is PRESERVED permanently instead
+    # when >= this many hours passed since the last preserved one — the
+    # tf.train.CheckpointManager keep_checkpoint_every_n_hours semantics the
+    # reference hardcodes to 12 (tfimm train/trainer.py:254-259); 0: off
+    keep_checkpoint_every_n_hours: float = 0.0
     # host-sync the loss for the TerminateOnNaN check only every N steps —
     # a per-step float(loss) serializes dispatch and bounds TPU throughput
     nan_check_every: int = 50
@@ -149,6 +154,9 @@ class Trainer:
         self._best = math.inf if cfg.monitor_mode == "min" else -math.inf
         self._best_path = None
         self._epoch_ckpts: list = []
+        self._preserved_ckpts: list = []  # spared by keep_checkpoint_every_n_hours
+        self._clock = time.time  # injectable for retention tests
+        self._last_preserved_ts = self._clock()
         self._step_fn = None
         self._eval_fn = None
 
@@ -280,12 +288,23 @@ class Trainer:
     def _save_epoch_snapshot(self, epoch: int):
         """Per-epoch snapshot, pruned to the newest ``keep_n_checkpoints``
         (the reference's tf.train.CheckpointManager max_to_keep semantics,
-        tfimm trainer.py:247-259)."""
+        tfimm trainer.py:247-259). With ``keep_checkpoint_every_n_hours`` > 0
+        a snapshot due for pruning is instead preserved permanently when at
+        least that many hours separate it from the last preserved one — the
+        long-run safety net tf.train.CheckpointManager provides (the
+        reference hardcodes 12 h, tfimm trainer.py:258)."""
         path = self._save(f"epoch{epoch:03d}")
-        self._epoch_ckpts.append(path)
+        self._epoch_ckpts.append((path, self._clock()))
+        n_h = self.cfg.keep_checkpoint_every_n_hours
         while len(self._epoch_ckpts) > self.cfg.keep_n_checkpoints:
-            old = self._epoch_ckpts.pop(0)
-            if old != path and os.path.exists(old):
+            old, ts = self._epoch_ckpts.pop(0)
+            if old == path:
+                continue
+            if n_h > 0 and ts - self._last_preserved_ts >= n_h * 3600.0:
+                self._last_preserved_ts = ts
+                self._preserved_ckpts.append(old)  # spared from deletion
+                continue
+            if os.path.exists(old):
                 os.remove(old)
         return path
 
