@@ -147,6 +147,34 @@ class TestFusedConvNeXtBlock:
         ref = self._reference(x, args, C)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
+    def test_batchlane_int8_close_to_f32(self):
+        """int8 lane-fold MLP dots in the batch-lane kernel (per-column
+        dynamic activation scales x per-row weight scales) track the f32
+        kernel within PTQ tolerance."""
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.ops.pallas.convnext_block import (
+            fused_convnext_block_batchlane,
+        )
+
+        rng = np.random.RandomState(9)
+        C = 96
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 9, 11, C)).astype(np.float32))
+        args = self._args(C, rng)
+        xt = jnp.transpose(x, (1, 2, 3, 0))
+        ref = self._reference(x, args, C)
+        try:
+            os.environ["VIPTPU_INT8_KERNELS"] = "1"
+            out = jnp.transpose(
+                fused_convnext_block_batchlane(xt, *args, interpret=True),
+                (3, 0, 1, 2),
+            )
+        finally:
+            os.environ.pop("VIPTPU_INT8_KERNELS", None)
+        err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+        scale = np.abs(np.asarray(ref)).max()
+        assert err < 0.03 * scale, (err, scale)
+
     def test_model_fused_gate_matches_unfused(self):
         """ConvNeXt with the fused paths (batch-last at C<256, whole-image at
         C>=256) produces the same output as the plain Flax path
@@ -225,6 +253,35 @@ class TestFusedGCViTBlock:
         y2 = m1.apply(v1, x)                      # unpacked pipeline (default)
         np.testing.assert_array_equal(np.asarray(packed["rows"]), np.asarray(y2))
         np.testing.assert_array_equal(np.asarray(packed["kron"]), np.asarray(y2))
+
+    def test_model_int8_kernels_close_to_bf16_path(self):
+        """VIPTPU_INT8_KERNELS=1: the GCViT qkv/proj/MLP GEMMs run s8 with
+        per-output-channel weight scales + dynamic per-row activation scales
+        (attention GEMMs unchanged); the model output must track the
+        full-precision fused path within PTQ tolerance. MIN_C=0 covers every
+        level incl. the C<128 ones the production gate skips."""
+        import jax.numpy as jnp
+
+        from vip_cup_2022_tpu.models import create_model
+
+        rng = np.random.RandomState(5)
+        kw = dict(
+            input_size=(224, 224), nb_classes=3, depths=(2, 1, 1, 1), dim=16,
+            num_heads=(1, 2, 4, 8),
+        )
+        m1, v1, _ = create_model("gcvit_xxtiny", fused_block=True, **kw)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 224, 224, 3)).astype(np.float32))
+        ref = m1.apply(v1, x)
+        try:
+            os.environ["VIPTPU_INT8_KERNELS"] = "1"
+            os.environ["VIPTPU_GCVIT_INT8_MIN_C"] = "0"
+            out = m1.apply(v1, x)
+        finally:
+            os.environ.pop("VIPTPU_INT8_KERNELS", None)
+            os.environ.pop("VIPTPU_GCVIT_INT8_MIN_C", None)
+        err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+        scale = np.abs(np.asarray(ref)).max()
+        assert err < 0.05 * scale, (err, scale)
 
     def test_pack_lanes_roundtrip(self):
         from vip_cup_2022_tpu.ops.pallas.gcvit_block import (pack_lanes,

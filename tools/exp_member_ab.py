@@ -133,6 +133,16 @@ VARIANTS = {
     # "_int8" PTQ-interceptor variants above, which only reach nn.Conv/Dense
     "convnext_int8k": ("convnext_tiny_in22k", (200, 200), {},
                        {"VIPTPU_INT8_KERNELS": "1"}),
+    # GCViT in-kernel int8 (round 5): qkv/proj/MLP GEMMs s8 at C >= 128
+    # (L2/L3/L4); attention GEMMs stay bf16. min_c=0 also covers L1's C=64.
+    "gcvit_int8k": ("GCViTTiny", (224, 224), {},
+                    {"VIPTPU_INT8_KERNELS": "1"}),
+    "gcvit_int8k_all": ("GCViTTiny", (224, 224), {},
+                        {"VIPTPU_INT8_KERNELS": "1",
+                         "VIPTPU_GCVIT_INT8_MIN_C": "0"}),
+    "gcvit_int8k_256": ("GCViTTiny", (224, 224), {},
+                        {"VIPTPU_INT8_KERNELS": "1",
+                         "VIPTPU_GCVIT_INT8_MIN_C": "256"}),
     # batch-lane positions-per-step fold sweep: tp*B is the lane-concat
     # GEMM's N. tp=16 doubles N at s1 (hidden=384: f32 scratch 6.3 MB);
     # the VMEM guard in fused_ln_mlp_residual_batchlane keeps s2 at its

@@ -117,14 +117,16 @@ def vmem_scale() -> float:
 
 
 def int8_kernels_enabled() -> bool:
-    """VIPTPU_INT8_KERNELS=1 runs the fused ConvNeXt kernels' MLP GEMMs on
-    the MXU int8 path (s8 x s8 -> s32, ~2.8x the bf16 dot rate — measured
-    tools/int8_spike.py / int8_pallas_spike.py). Weights are quantized
-    per-output-channel outside the kernel; activations are quantized
-    per-grid-step with a DYNAMIC abs-max scale computed on the VPU (strictly
-    tighter than calibrated per-tensor scales — no calibration pass needed).
-    Gate the default on the measured decision-flip rate (tools/flip_rate.py),
-    exactly as for bf16."""
+    """VIPTPU_INT8_KERNELS=1 runs the fused kernels' dense GEMMs on the MXU
+    int8 path (s8 x s8 -> s32, ~2.8x the bf16 dot rate — measured
+    tools/int8_spike.py / int8_pallas_spike.py): the ConvNeXt whole-image
+    kernel's MLP (this file), the ConvNeXt batch-lane kernel's lane-fold MLP
+    (s1/s2), and the GCViT kernels' qkv/proj/MLP (gcvit_block.py, gated at
+    C >= VIPTPU_GCVIT_INT8_MIN_C). Weights are quantized per-output-channel
+    outside the kernel; activations are quantized per-grid-step with DYNAMIC
+    abs-max scales computed on the VPU (strictly tighter than calibrated
+    per-tensor scales — no calibration pass needed). Gate the default on the
+    measured decision-flip rate (tools/flip_rate.py), exactly as for bf16."""
     return os.environ.get("VIPTPU_INT8_KERNELS", "0") == "1"
 
 
@@ -352,10 +354,21 @@ def fused_ln_mlp_residual(
     return out.reshape(bsz, h, w, c)
 
 
+def _dyn_quant_cols(y):
+    """Dynamic PER-COLUMN symmetric int8 of an f32 (K, N) tile: (q, (1, N)
+    scales). The batch-lane layout contracts over K (sublanes), so per-
+    column = per-batch-position scales, which factor out of the GEMM
+    exactly: w_s8 @ q * (s_row * s_col)."""
+    amax = jnp.max(jnp.abs(y), axis=0, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(y * (1.0 / s)), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _lnmlp_batchlane_kernel(x_ref, r_ref, dwb_ref, g_ref, b_ref, w1t_ref,
-                            b1_ref, w2t_ref, b2_ref, ls_ref, o_ref, *,
+                            b1_ref, w2t_ref, b2_ref, ls_ref, *rest,
                             tp: int, eps: float, gelu: str = "erf",
-                            lane_fold: bool = True):
+                            lane_fold: bool = True, int8_mm: bool = False):
     """LN+MLP+layer-scale+residual with BATCH as the lane dimension.
 
     Blocks are (tp, C, B): B is lane-aligned by construction (batch 256), C
@@ -371,7 +384,17 @@ def _lnmlp_batchlane_kernel(x_ref, r_ref, dwb_ref, g_ref, b_ref, w1t_ref,
     370 GFLOP of GEMMs — N=tp*B amortizes the per-dot pipeline cost and
     multiplies the lane tiles 8x. Channel-param columns broadcast over the
     wider lane extent unchanged; the result is sliced back per position for
-    the residual adds (lane slices at B-multiples are tile-aligned)."""
+    the residual adds (lane slices at B-multiples are tile-aligned).
+
+    ``int8_mm`` (lane-fold path only): both MLP GEMMs run s8 x s8 -> s32 —
+    weights per-output-channel (per-ROW of the transposed operands; scale
+    COLUMNS (hidden, 1)/(C, 1) in s1_ref/s2_ref), activations with dynamic
+    per-COLUMN (= per batch position) scales; both factor out of the GEMM
+    exactly."""
+    if int8_mm:
+        s1_ref, s2_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     ys = []
     for p in range(tp):
         # the depthwise-conv bias rides in here (one (C,1) broadcast-add on
@@ -392,17 +415,26 @@ def _lnmlp_batchlane_kernel(x_ref, r_ref, dwb_ref, g_ref, b_ref, w1t_ref,
             o = (o + b2_ref[:]) * ls_ref[:]
             o_ref[p] = (o + r_ref[p].astype(jnp.float32)).astype(o_ref.dtype)
         else:
-            ys.append(y.astype(o_ref.dtype))
+            ys.append(y if int8_mm else y.astype(o_ref.dtype))
     if not lane_fold:
         return
     bsz = x_ref.shape[2]
     ybig = ys[0] if tp == 1 else jnp.concatenate(ys, axis=1)  # (C, tp*B)
-    h = jnp.dot(w1t_ref[:], ybig, preferred_element_type=jnp.float32)
-    h = h + b1_ref[:]
-    h = _gelu(h, gelu)
-    o = jnp.dot(w2t_ref[:], h.astype(o_ref.dtype),
-                preferred_element_type=jnp.float32)           # (C, tp*B)
-    o = (o + b2_ref[:]) * ls_ref[:]
+    if int8_mm:
+        qy, sy = _dyn_quant_cols(ybig)
+        h = jnp.dot(w1t_ref[:], qy, preferred_element_type=jnp.int32)
+        h = h.astype(jnp.float32) * (s1_ref[:] * sy) + b1_ref[:]
+        h = _gelu(h, gelu)
+        qh, sh = _dyn_quant_cols(h)
+        o = jnp.dot(w2t_ref[:], qh, preferred_element_type=jnp.int32)
+        o = (o.astype(jnp.float32) * (s2_ref[:] * sh) + b2_ref[:]) * ls_ref[:]
+    else:
+        h = jnp.dot(w1t_ref[:], ybig, preferred_element_type=jnp.float32)
+        h = h + b1_ref[:]
+        h = _gelu(h, gelu)
+        o = jnp.dot(w2t_ref[:], h.astype(o_ref.dtype),
+                    preferred_element_type=jnp.float32)       # (C, tp*B)
+        o = (o + b2_ref[:]) * ls_ref[:]
     for p in range(tp):
         op = jax.lax.slice(o, (0, p * bsz), (o.shape[0], (p + 1) * bsz))
         o_ref[p] = (op + r_ref[p].astype(jnp.float32)).astype(o_ref.dtype)
@@ -440,14 +472,28 @@ def fused_ln_mlp_residual_batchlane(
     env_tp = int(os.environ.get("VIPTPU_BATCHLANE_TP", "0"))
     if env_tp and hidden * env_tp * b * 4 <= 13 * 2**20 * vmem_scale():
         row_tile = env_tp  # ragged final tile handled by the cdiv grid
+    lane_fold = os.environ.get("VIPTPU_BATCHLANE_FOLD", "1") == "1"
+    int8_mm = lane_fold and int8_kernels_enabled()
     col = lambda a: jnp.asarray(a, jnp.float32)[:, None]  # noqa: E731
     kern = functools.partial(
         _lnmlp_batchlane_kernel, tp=row_tile, eps=eps,
-        gelu=gelu_flavor(gelu),
-        lane_fold=os.environ.get("VIPTPU_BATCHLANE_FOLD", "1") == "1",
+        gelu=gelu_flavor(gelu), lane_fold=lane_fold, int8_mm=int8_mm,
     )
     dwb = (jnp.zeros((c,), jnp.float32) if dw_bias is None
            else jnp.asarray(dw_bias, jnp.float32))
+    if int8_mm:
+        # per-output-channel s8 (per ROW of the transposed operands): reuse
+        # the column quantizer on the model-layout weights, then transpose
+        w1q, s1 = _quant_cols(jnp.asarray(w1, jnp.float32))
+        w2q, s2 = _quant_cols(jnp.asarray(w2, jnp.float32))
+        w1_op, w2_op = w1q.T, w2q.T
+        extra_args = [s1[:, None], s2[:, None]]
+        extra_specs = [pl.BlockSpec((hidden, 1), lambda i: (0, 0)),
+                       pl.BlockSpec((c, 1), lambda i: (0, 0))]
+    else:
+        w1_op = jnp.asarray(w1, dw_out.dtype).T
+        w2_op = jnp.asarray(w2, dw_out.dtype).T
+        extra_args, extra_specs = [], []
     out = pl.pallas_call(
         kern,
         grid=(pl.cdiv(n, row_tile),),
@@ -462,14 +508,14 @@ def fused_ln_mlp_residual_batchlane(
             pl.BlockSpec((c, hidden), lambda i: (0, 0)),
             pl.BlockSpec((c, 1), lambda i: (0, 0)),
             pl.BlockSpec((c, 1), lambda i: (0, 0)),
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec((row_tile, c, b), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, c, b), dw_out.dtype),
         interpret=interpret,
     )(
         x2, r2, dwb[:, None], col(ln_gamma), col(ln_beta),
-        jnp.asarray(w1, dw_out.dtype).T, col(b1),
-        jnp.asarray(w2, dw_out.dtype).T, col(b2), col(ls_gamma),
+        w1_op, col(b1), w2_op, col(b2), col(ls_gamma), *extra_args,
     )
     return out.reshape(h_, w_, c, b)
 

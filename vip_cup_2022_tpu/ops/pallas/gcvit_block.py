@@ -45,11 +45,59 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from .convnext_block import _gelu, gelu_flavor, vmem_scale
+from .convnext_block import (
+    _gelu,
+    _quant_cols,
+    gelu_flavor,
+    int8_kernels_enabled,
+    vmem_scale,
+)
 
 
 def _aligned(*dims: int) -> bool:
     return all(d % 128 == 0 for d in dims)
+
+
+# ---------------------------------------------------------------------------
+# int8 dense GEMMs (VERDICT r4 item 5): the block's qkv/proj/MLP projections
+# on the MXU s8 x s8 -> s32 path (~2.8x the bf16 dot rate — tools/
+# int8_pallas_spike.py). Same scheme as the ConvNeXt kernel: per-output-
+# channel weight scales quantized host-side, DYNAMIC per-tile activation
+# abs-max scales on the VPU. Attention score/PV GEMMs stay bf16 (softmax
+# needs the f32 range anyway, and head_dim=32 tiles are relayout-bound).
+# ---------------------------------------------------------------------------
+def gcvit_int8(c: int, force: Optional[bool] = None) -> bool:
+    """Whether a block at channel width ``c`` runs its dense GEMMs int8:
+    VIPTPU_INT8_KERNELS=1 and c >= VIPTPU_GCVIT_INT8_MIN_C (default 128 —
+    C=64 (L1) lane-slices s8 operands at 64-offsets, below the (32, 128)
+    native int8 tile, and L1 is bandwidth-bound, not GEMM-bound)."""
+    if force is not None:
+        return force
+    return int8_kernels_enabled() and c >= int(
+        os.environ.get("VIPTPU_GCVIT_INT8_MIN_C", "128"))
+
+
+def _dyn_quant_rows(y):
+    """Dynamic PER-ROW symmetric int8 of an f32 (M, K) tile: (q, (M, 1)
+    scales). Row scales factor out of the GEMM exactly (o = s_row *
+    (q @ w) * s_col), and are much tighter than one per-tile scale when the
+    token rows have uneven magnitudes (post-LN activations mostly do not,
+    but the GELU'd MLP hidden does)."""
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(y * (1.0 / s)), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _dot_i8(y_f32, w_ref_val, scale, bias=None):
+    """f32 (M, K) @ s8 (K, N) via dynamic-activation int8: quantize the tile
+    on the VPU (per-row scales), s8 x s8 -> s32 on the MXU, dequantize with
+    (row_scale * per-channel weight scale). ``scale`` is the (N,) f32
+    weight-scale value; ``bias`` an optional (N,) f32 add after dequant."""
+    qy, sy = _dyn_quant_rows(y_f32)
+    acc = jnp.dot(qy, w_ref_val, preferred_element_type=jnp.int32)
+    o = acc.astype(jnp.float32) * (sy * scale)
+    return o if bias is None else o + bias
 
 
 # ---------------------------------------------------------------------------
@@ -164,11 +212,19 @@ def _mm_dtype(x_dtype, *dims, force=None):
 # kernel 1: LN + dense (qkv projection)
 # ---------------------------------------------------------------------------
 def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, *o_refs, eps,
-                     mm_dtype, pack=1, rows=False):
+                     mm_dtype, pack=1, rows=False, int8_mm=False):
+    if int8_mm:
+        s_ref, *o_refs = o_refs
     xf = x_ref[:].astype(jnp.float32)
     y = _ln_normalize(xf, pack, eps)
     y = y * g_ref[:] + b_ref[:]
     split = len(o_refs)
+    if int8_mm:
+        o = _dot_i8(y, w_ref[:], s_ref[:], wb_ref[:])
+        width = o.shape[1] // split
+        for s, o_ref in enumerate(o_refs):
+            o_ref[:] = o[:, s * width : (s + 1) * width].astype(o_ref.dtype)
+        return
     if rows and pack > 1:
         # per-image GEMMs with the ORIGINAL (C0, D0) weights: no kron FLOP
         # multiplication; outputs re-packed to the lane layout the attention
@@ -189,7 +245,8 @@ def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, *o_refs, eps,
 
 
 def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
-             force_mm_dtype=None, pack=1, interpret=False):
+             force_mm_dtype=None, pack=1, int8: Optional[bool] = None,
+             interpret=False):
     """LN over the last axis then a dense projection; x2 is (M, C). With
     ``split`` > 1 the (M, D) result is returned as ``split`` separate
     (M, D/split) arrays (q/k/v), keeping each output's lane dim equal to its
@@ -216,8 +273,9 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
     d = w.shape[1]  # rows mode: split*D0 (original); kron: pack*split*D0
     width = (pack * d // split) if rows else (d // split)
     mm_dtype = _mm_dtype(x2.dtype, c, d, force=force_mm_dtype)
+    int8_mm = pack == 1 and gcvit_int8(c, force=int8)
     kern = functools.partial(_ln_dense_kernel, eps=eps, mm_dtype=mm_dtype,
-                             pack=pack, rows=rows)
+                             pack=pack, rows=rows, int8_mm=int8_mm)
     if x2.dtype == jnp.float32:
         row_tile //= 2  # f32 tiles are 2x the bytes; stay under scoped VMEM
     if c < 128:
@@ -226,6 +284,12 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
     t = min(row_tile, max(8, -(-m // 8) * 8))  # small-M: don't allocate a
     # full 1024-row VMEM tile for a 2-image batch (scoped-vmem OOM at C=512)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    if int8_mm:
+        w_op, sw = _quant_cols(f32(w))
+        extra_args, extra_specs = [sw], [pl.BlockSpec((d,), lambda i: (0,))]
+    else:
+        w_op = jnp.asarray(w, mm_dtype)
+        extra_args, extra_specs = [], []
     out = pl.pallas_call(
         kern,
         grid=(pl.cdiv(m, t),),
@@ -235,6 +299,7 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c // pack if rows else c, d), lambda i: (0, 0)),
             pl.BlockSpec((d,), lambda i: (0,)),
+            *extra_specs,
         ],
         out_specs=tuple(
             pl.BlockSpec((t, width), lambda i: (i, 0)) for _ in range(split)
@@ -243,7 +308,7 @@ def ln_dense(x2, ln_g, ln_b, w, wb, *, eps=1e-5, row_tile=1024, split=1,
             jax.ShapeDtypeStruct((m, width), x2.dtype) for _ in range(split)
         ),
         interpret=interpret,
-    )(x2, f32(ln_g), f32(ln_b), jnp.asarray(w, mm_dtype), f32(wb))
+    )(x2, f32(ln_g), f32(ln_b), w_op, f32(wb), *extra_args)
     return tuple(out)  # pallas returns a sequence for tuple out_shape
 
 
@@ -551,8 +616,20 @@ def grouped_window_attention(
 # kernel 3: proj + residual + LN2 + MLP + residual
 # ---------------------------------------------------------------------------
 def _tail_kernel(a_ref, x_ref, wp_ref, bp_ref, g1_ref, lg_ref, lb_ref,
-                 w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, o_ref, *, eps,
-                 mm_dtype, gelu="erf", pack=1, rows=False):
+                 w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, *rest, eps,
+                 mm_dtype, gelu="erf", pack=1, rows=False, int8_mm=False):
+    if int8_mm:
+        sp_ref, s1_ref, s2_ref, o_ref = rest
+        proj = _dot_i8(a_ref[:].astype(jnp.float32), wp_ref[:], sp_ref[:],
+                       bp_ref[:])
+        r1 = x_ref[:].astype(jnp.float32) + proj * g1_ref[:]
+        y = _ln_normalize(r1, pack, eps)
+        y = y * lg_ref[:] + lb_ref[:]
+        h = _gelu(_dot_i8(y, w1_ref[:], s1_ref[:], b1_ref[:]), gelu)
+        o = r1 + _dot_i8(h, w2_ref[:], s2_ref[:], b2_ref[:]) * g2_ref[:]
+        o_ref[:] = o.astype(o_ref.dtype)
+        return
+    (o_ref,) = rest
     if rows and pack > 1:
         # per-image GEMMs with per-image weights (see _ln_dense_kernel);
         # everything elementwise (residuals, LN, layer-scale) stays on the
@@ -590,7 +667,7 @@ def _tail_kernel(a_ref, x_ref, wp_ref, bp_ref, g1_ref, lg_ref, lb_ref,
 def proj_res_ln_mlp(
     attn_out, x2, wp, bp, gamma1, ln_g, ln_b, w1, b1, w2, b2, gamma2,
     *, eps=1e-5, row_tile=1024, force_mm_dtype=None, gelu=None, pack=1,
-    interpret=False,
+    int8: Optional[bool] = None, interpret=False,
 ):
     """x + g1*proj(attn) then +g2*MLP(LN(.)) over flat (M, C) tokens.
     ``pack`` > 1: lane-packed tokens; GEMMs per :func:`pack_gemm_mode`
@@ -608,8 +685,10 @@ def proj_res_ln_mlp(
     m, c = x2.shape
     hidden = w1.shape[1]
     mm_dtype = _mm_dtype(x2.dtype, c, hidden, force=force_mm_dtype)
+    int8_mm = pack == 1 and gcvit_int8(c, force=int8)
     kern = functools.partial(_tail_kernel, eps=eps, mm_dtype=mm_dtype,
-                             gelu=gelu_flavor(gelu), pack=pack, rows=rows)
+                             gelu=gelu_flavor(gelu), pack=pack, rows=rows,
+                             int8_mm=int8_mm)
     if x2.dtype == jnp.float32:
         row_tile //= 2  # f32 tiles are 2x the bytes (see ln_dense)
     if c < 128:
@@ -617,6 +696,19 @@ def proj_res_ln_mlp(
     t = min(row_tile, max(8, -(-m // 8) * 8))  # small-M clamp (see ln_dense)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     c0 = c // pack if rows else c  # per-image width for rows-mode weights
+    if int8_mm:
+        wp_op, sp = _quant_cols(f32(wp))
+        w1_op, s1 = _quant_cols(f32(w1))
+        w2_op, s2 = _quant_cols(f32(w2))
+        extra_args = [sp, s1, s2]
+        extra_specs = [pl.BlockSpec((c,), lambda i: (0,)),
+                       pl.BlockSpec((hidden,), lambda i: (0,)),
+                       pl.BlockSpec((c,), lambda i: (0,))]
+    else:
+        wp_op = jnp.asarray(wp, mm_dtype)
+        w1_op = jnp.asarray(w1, mm_dtype)
+        w2_op = jnp.asarray(w2, mm_dtype)
+        extra_args, extra_specs = [], []
     return pl.pallas_call(
         kern,
         grid=(pl.cdiv(m, t),),
@@ -633,14 +725,15 @@ def proj_res_ln_mlp(
             pl.BlockSpec((hidden, c0), lambda i: (0, 0)),
             pl.BlockSpec((c0,), lambda i: (0,)),
             pl.BlockSpec((c,), lambda i: (0,)),
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec((t, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, c), x2.dtype),
         interpret=interpret,
     )(
-        attn_out, x2, jnp.asarray(wp, mm_dtype), f32(bp), f32(gamma1),
-        f32(ln_g), f32(ln_b), jnp.asarray(w1, mm_dtype), f32(b1),
-        jnp.asarray(w2, mm_dtype), f32(b2), f32(gamma2),
+        attn_out, x2, wp_op, f32(bp), f32(gamma1),
+        f32(ln_g), f32(ln_b), w1_op, f32(b1),
+        w2_op, f32(b2), f32(gamma2), *extra_args,
     )
 
 
@@ -648,7 +741,7 @@ def proj_res_ln_mlp(
 # monoblock: the WHOLE transformer block in one program per image
 # ---------------------------------------------------------------------------
 def _mono_kernel(*refs, eps, mm_dtype, gelu, scale, g, n, heads, s_comp,
-                 mxu_sum, synth=False):
+                 mxu_sum, synth=False, int8_mm=False):
     """LN1 -> qkv GEMM -> grouped masked window attention -> proj +
     layer-scale residual -> LN2 -> MLP -> residual, all on one image's
     window-ordered tokens held in VMEM. Identical math to the three-kernel
@@ -658,14 +751,18 @@ def _mono_kernel(*refs, eps, mm_dtype, gelu, scale, g, n, heads, s_comp,
     so each saved pass is expensive; profiled L1 = 30.7 of GCViTTiny's
     76.8 ms device time)."""
     has_qg = s_comp == 2
+    if int8_mm:  # 4 weight-scale refs ride between the params and the out
+        *refs, sqkv_ref, sp_ref, s1_ref, s2_ref, o_ref = refs
+    else:
+        *refs, o_ref = refs
     if has_qg:
         (x_ref, qg_ref, ln1g_ref, ln1b_ref, wqkv_ref, bqkv_ref, mb_ref,
          wp_ref, bp_ref, g1_ref, ln2g_ref, ln2b_ref, w1_ref, b1_ref,
-         w2_ref, b2_ref, g2_ref, o_ref) = refs
+         w2_ref, b2_ref, g2_ref) = refs
     else:
         (x_ref, ln1g_ref, ln1b_ref, wqkv_ref, bqkv_ref, mb_ref,
          wp_ref, bp_ref, g1_ref, ln2g_ref, ln2b_ref, w1_ref, b1_ref,
-         w2_ref, b2_ref, g2_ref, o_ref) = refs
+         w2_ref, b2_ref, g2_ref) = refs
 
     x = x_ref[0]                                    # (toks, C)
     c = x.shape[1]
@@ -683,16 +780,27 @@ def _mono_kernel(*refs, eps, mm_dtype, gelu, scale, g, n, heads, s_comp,
     mean = xf.mean(axis=-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = (y * ln1g_ref[:] + ln1b_ref[:]).astype(mm_dtype)
+    y = y * ln1g_ref[:] + ln1b_ref[:]
     wqkv = wqkv_ref[:]
     bqkv = bqkv_ref[:]
     s_c = wqkv.shape[1] // c
+    if int8_mm:
+        # quantize the LN'd activations ONCE; the per-component dots share
+        # the dynamic per-row scales (same tile => same abs-max rows)
+        qy, sy = _dyn_quant_rows(y)
+    else:
+        y = y.astype(mm_dtype)
     comps = []
     for s_i in range(s_c):
         wj = jax.lax.slice(wqkv, (0, s_i * c), (wqkv.shape[0], (s_i + 1) * c))
         bj = jax.lax.slice(bqkv, (s_i * c,), ((s_i + 1) * c,))
-        comps.append(
-            jnp.dot(y, wj, preferred_element_type=jnp.float32) + bj)
+        if int8_mm:
+            sj = jax.lax.slice(sqkv_ref[:], (s_i * c,), ((s_i + 1) * c,))
+            acc = jnp.dot(qy, wj, preferred_element_type=jnp.int32)
+            comps.append(acc.astype(jnp.float32) * (sy * sj) + bj)
+        else:
+            comps.append(
+                jnp.dot(y, wj, preferred_element_type=jnp.float32) + bj)
 
     if has_qg:
         qg = qg_ref[0]                              # (n, C) or (toks, C)
@@ -747,20 +855,29 @@ def _mono_kernel(*refs, eps, mm_dtype, gelu, scale, g, n, heads, s_comp,
     # stores its output in the token dtype before the tail reads it
     attn = attn.astype(x.dtype)
 
-    proj = jnp.dot(attn.astype(mm_dtype), wp_ref[:],
-                   preferred_element_type=jnp.float32) + bp_ref[:]
+    if int8_mm:
+        proj = _dot_i8(attn.astype(jnp.float32), wp_ref[:], sp_ref[:],
+                       bp_ref[:])
+    else:
+        proj = jnp.dot(attn.astype(mm_dtype), wp_ref[:],
+                       preferred_element_type=jnp.float32) + bp_ref[:]
     r1 = xf + proj * g1_ref[:]
 
     mean2 = r1.mean(axis=-1, keepdims=True)
     var2 = ((r1 - mean2) ** 2).mean(axis=-1, keepdims=True)
     y2 = (r1 - mean2) * jax.lax.rsqrt(var2 + eps)
     y2 = y2 * ln2g_ref[:] + ln2b_ref[:]
-    h_ = jnp.dot(y2.astype(mm_dtype), w1_ref[:],
-                 preferred_element_type=jnp.float32)
-    h_ = _gelu(h_ + b1_ref[:], gelu)
-    o = jnp.dot(h_.astype(mm_dtype), w2_ref[:],
-                preferred_element_type=jnp.float32)
-    o = r1 + (o + b2_ref[:]) * g2_ref[:]
+    if int8_mm:
+        h_ = _gelu(_dot_i8(y2, w1_ref[:], s1_ref[:], b1_ref[:]), gelu)
+        o = _dot_i8(h_, w2_ref[:], s2_ref[:], b2_ref[:])
+        o = r1 + o * g2_ref[:]
+    else:
+        h_ = jnp.dot(y2.astype(mm_dtype), w1_ref[:],
+                     preferred_element_type=jnp.float32)
+        h_ = _gelu(h_ + b1_ref[:], gelu)
+        o = jnp.dot(h_.astype(mm_dtype), w2_ref[:],
+                    preferred_element_type=jnp.float32)
+        o = r1 + (o + b2_ref[:]) * g2_ref[:]
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -789,11 +906,15 @@ def _mono_vmem_model(toks, c, hidden, heads, gn, s_comp, itemsize,
 def mono_window_transformer_block(
     x_win, *, heads, n, ln1_g, ln1_b, wqkv, bqkv, bias, wp, bp,
     ln2_g, ln2_b, w1, b1, w2, b2, gamma1, gamma2, scale, q_global,
-    group, eps, force_mm_dtype=None, interpret=False,
+    group, eps, force_mm_dtype=None, int8: Optional[bool] = None,
+    interpret=False,
 ):
     """One pallas program per image for the whole block; see _mono_kernel.
     ``q_global`` may be None (local block), (B, N, C) (global query) or
-    (B, toks, C) (folded single-window levels, a full per-token q)."""
+    (B, toks, C) (folded single-window levels, a full per-token q).
+    ``int8`` (default: :func:`gcvit_int8` policy) runs the qkv/proj/MLP
+    GEMMs s8 x s8 with per-output-channel weight scales + dynamic
+    activation scales; attention GEMMs stay in the compute dtype."""
     b, toks, c = x_win.shape
     hidden = w1.shape[1]
     g = group
@@ -802,10 +923,11 @@ def mono_window_transformer_block(
     s_comp = 3 if q_global is None else 2
     mxu = softmax_mode() == "mxu"
     synth = _bias_synth(heads, g, n)
+    int8_mm = gcvit_int8(c, force=int8)
     kern = functools.partial(
         _mono_kernel, eps=eps, mm_dtype=mm_dtype, gelu=gelu_flavor(None),
         scale=scale, g=g, n=n, heads=heads, s_comp=s_comp, mxu_sum=mxu,
-        synth=synth)
+        synth=synth, int8_mm=int8_mm)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     ones = jnp.ones((c,), jnp.float32)
     gamma1 = ones if gamma1 is None else f32(gamma1)
@@ -840,20 +962,37 @@ def mono_window_transformer_block(
         pl.BlockSpec((c,), lambda i: (0,)),
         pl.BlockSpec((c,), lambda i: (0,)),
     ]
+    if int8_mm:
+        wqkv_op, sqkv = _quant_cols(f32(wqkv))
+        wp_op, sp = _quant_cols(f32(wp))
+        w1_op, s1 = _quant_cols(f32(w1))
+        w2_op, s2 = _quant_cols(f32(w2))
+        scale_args = [sqkv, sp, s1, s2]
+        scale_specs = [
+            pl.BlockSpec((s_comp * c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((hidden,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ]
+    else:
+        wqkv_op = jnp.asarray(wqkv, mm_dtype)
+        wp_op = jnp.asarray(wp, mm_dtype)
+        w1_op = jnp.asarray(w1, mm_dtype)
+        w2_op = jnp.asarray(w2, mm_dtype)
+        scale_args, scale_specs = [], []
     w_args = [
-        f32(ln1_g), f32(ln1_b), jnp.asarray(wqkv, mm_dtype), f32(bqkv), mb,
-        jnp.asarray(wp, mm_dtype), f32(bp), gamma1, f32(ln2_g), f32(ln2_b),
-        jnp.asarray(w1, mm_dtype), f32(b1), jnp.asarray(w2, mm_dtype),
-        f32(b2), gamma2,
+        f32(ln1_g), f32(ln1_b), wqkv_op, f32(bqkv), mb,
+        wp_op, f32(bp), gamma1, f32(ln2_g), f32(ln2_b),
+        w1_op, f32(b1), w2_op, f32(b2), gamma2,
     ]
     return pl.pallas_call(
         kern,
         grid=(b,),
-        in_specs=in_specs + w_specs,
+        in_specs=in_specs + w_specs + scale_specs,
         out_specs=pl.BlockSpec((1, toks, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, toks, c), x_win.dtype),
         interpret=interpret,
-    )(*args, *w_args)
+    )(*args, *w_args, *scale_args)
 
 
 # ---------------------------------------------------------------------------
