@@ -59,6 +59,45 @@ def make_testset(root: str, n: int, seed: int = 0):
     return csv, gen_s
 
 
+def make_ckpts(root: str) -> str:
+    """Random-init fold checkpoints for all 7 members in the production
+    layout (ckpts/<dir>/ckpt/fold0.msgpack + config.json + ckpts.json), so
+    the timed CLI runs exercise the PRODUCTION load path — manifest ->
+    msgpack load -> lazy shape-only init + transfer — instead of the
+    random-init dev path whose 7x jit(module.init) dominated the r5 first
+    e2e measurement (~3 min of the 6 min wall). Untimed (a real deployment
+    ships trained checkpoints)."""
+    import jax
+    import json as _json
+    import shutil as _shutil
+
+    sys.path.insert(0, REPO)
+    from vip_cup_2022_tpu.models import create_model
+    from vip_cup_2022_tpu.utils.checkpoint import save_variables
+
+    ckpt_root = os.path.join(root, "ckpts")
+    manifest = os.path.join(REPO, "ckpts", "ckpts.json")
+    os.makedirs(ckpt_root, exist_ok=True)
+    _shutil.copy(manifest, os.path.join(ckpt_root, "ckpts.json"))
+    cpu = jax.devices("cpu")[0]
+    t0 = time.perf_counter()
+    for base_dir, dim, _idx in _json.load(open(manifest)):
+        name = base_dir.split("-")[0]
+        d = os.path.join(ckpt_root, base_dir, "ckpt")
+        os.makedirs(d, exist_ok=True)
+        with jax.default_device(cpu):
+            _, variables, _ = create_model(
+                name, input_size=tuple(dim), nb_classes=1,
+                classifier_activation="sigmoid")
+        save_variables(os.path.join(d, "fold0.msgpack"), variables)
+        _json.dump({"nb_classes": 1, "classifier_activation": "sigmoid"},
+                   open(os.path.join(d, "config.json"), "w"))
+    print(f"[e2e] 7 member ckpts generated in "
+          f"{time.perf_counter() - t0:.0f}s (untimed)", file=sys.stderr,
+          flush=True)
+    return ckpt_root
+
+
 def time_decode_pool(csv_path: str, threads: int = 16) -> dict:
     """Standalone host decode+resize throughput of the engine's cv2 pool
     (data/decode.py + the NATIVE_SIZE resize) — the producer side of the
@@ -118,6 +157,9 @@ def main():
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--skip-latency", action="store_true",
                     help="skip the synchronous per-batch latency rerun")
+    ap.add_argument("--no-ckpts", action="store_true",
+                    help="skip checkpoint pre-generation and run the CLI in "
+                         "random-init dev mode (the pre-r5 behavior)")
     args = ap.parse_args()
 
     root = args.workdir or tempfile.mkdtemp(prefix="vip_e2e_")
@@ -133,6 +175,8 @@ def main():
     env_extra = {}
     if args.platform:
         env_extra["VIPTPU_PLATFORM"] = args.platform
+    if not args.no_ckpts:
+        env_extra["VIPTPU_CKPT_DIR"] = make_ckpts(root)
 
     out_csv = os.path.join(root, "output.csv")
     cold = run_cli(csv_path, out_csv, env_extra)
@@ -160,6 +204,8 @@ def main():
 
     result = {
         "metric": "e2e_csv_to_csv",
+        "ckpt_mode": ("random-init dev" if args.no_ckpts else
+                      "production load path (pre-generated fold ckpts)"),
         "n_images": args.n,
         "decode_pool": decode,
         "cold": cold,

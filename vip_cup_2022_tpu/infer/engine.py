@@ -196,25 +196,50 @@ class EnsembleEngine:
     # ------------------------------------------------------------------
     # model construction
     # ------------------------------------------------------------------
-    def _create_member(self, name: str, dim, overrides: Dict):
+    def _create_member(self, name: str, dim, overrides: Dict,
+                       lazy: bool = False):
         """create_model with init on the CPU backend when running on an
         accelerator: jit-init through the axon tunnel costs minutes per
         model, CPU init is seconds. Callers must _place() the final
-        variables (after weight transfer) onto the accelerator once."""
+        variables (after weight transfer) onto the accelerator once.
+
+        ``lazy``: build the variables pytree from ``jax.eval_shape`` of the
+        module's init (zero compute — an abstract trace) and materialize
+        zeros. Used when a checkpoint will overwrite every leaf anyway:
+        the real jit-init of the 7-member ensemble costs minutes of the
+        CLI's cold start (measured e2e: ~6 min wall, device infer ~10 s),
+        all of it thrown away by transfer_weights. Any leaf the checkpoint
+        does NOT cover stays zero, and transfer_weights' mismatch warning
+        flags it (engine fold checkpoints always cover all leaves)."""
         cpu = None
         if jax.default_backend() != "cpu":
             try:
                 cpu = jax.devices("cpu")[0]
             except Exception:
                 cpu = None
+
+        def build():
+            if not lazy:
+                return create_model(
+                    name, input_size=tuple(dim), dtype=self.compute_dtype,
+                    **overrides
+                )
+            module, _, cfg = create_model(
+                name, input_size=tuple(dim), dtype=self.compute_dtype,
+                init=False, **overrides
+            )
+            rng = jax.random.PRNGKey(0)
+            dummy = jax.ShapeDtypeStruct(
+                (1, *cfg.input_size, cfg.in_channels), jnp.float32)
+            shapes = jax.eval_shape(module.init, rng, dummy)
+            variables = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            return module, variables, cfg
+
         if cpu is not None:
             with jax.default_device(cpu):
-                return create_model(
-                    name, input_size=tuple(dim), dtype=self.compute_dtype, **overrides
-                )
-        return create_model(
-            name, input_size=tuple(dim), dtype=self.compute_dtype, **overrides
-        )
+                return build()
+        return build()
 
     def _place(self, variables):
         """Commit a variables pytree to the accelerator (no-op on CPU)."""
