@@ -59,6 +59,28 @@ def make_testset(root: str, n: int, seed: int = 0):
     return csv, gen_s
 
 
+_MAKE_CKPTS_SRC = """
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from vip_cup_2022_tpu.infer.engine import registry_name
+from vip_cup_2022_tpu.models import create_model
+from vip_cup_2022_tpu.utils.checkpoint import save_variables
+ckpt_root, manifest = {ckpt_root!r}, {manifest!r}
+for base_dir, dim, _idx in json.load(open(manifest)):
+    name = registry_name(base_dir)  # same dir->name rule as the engine
+    d = os.path.join(ckpt_root, base_dir, "ckpt")
+    os.makedirs(d, exist_ok=True)
+    _, variables, _ = create_model(
+        name, input_size=tuple(dim), nb_classes=1,
+        classifier_activation="sigmoid")
+    save_variables(os.path.join(d, "fold0.msgpack"), variables)
+    json.dump({{"nb_classes": 1, "classifier_activation": "sigmoid"}},
+              open(os.path.join(d, "config.json"), "w"))
+"""
+
+
 def make_ckpts(root: str) -> str:
     """Random-init fold checkpoints for all 7 members in the production
     layout (ckpts/<dir>/ckpt/fold0.msgpack + config.json + ckpts.json), so
@@ -66,35 +88,28 @@ def make_ckpts(root: str) -> str:
     msgpack load -> lazy shape-only init + transfer — instead of the
     random-init dev path whose 7x jit(module.init) dominated the r5 first
     e2e measurement (~3 min of the 6 min wall). Untimed (a real deployment
-    ships trained checkpoints)."""
-    import jax
-    import json as _json
-    import shutil as _shutil
+    ships trained checkpoints).
 
-    sys.path.insert(0, REPO)
-    from vip_cup_2022_tpu.models import create_model
-    from vip_cup_2022_tpu.utils.checkpoint import save_variables
-
+    Runs in a CPU-pinned SUBPROCESS: initializing jax in this parent
+    process would claim the accelerator before the timed CLI subprocesses
+    launch (on a directly-attached TPU host the child would then fail
+    device init or silently fall back to CPU)."""
     ckpt_root = os.path.join(root, "ckpts")
     manifest = os.path.join(REPO, "ckpts", "ckpts.json")
     os.makedirs(ckpt_root, exist_ok=True)
-    _shutil.copy(manifest, os.path.join(ckpt_root, "ckpts.json"))
-    cpu = jax.devices("cpu")[0]
+    shutil.copy(manifest, os.path.join(ckpt_root, "ckpts.json"))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # site hook force-registers TPU
     t0 = time.perf_counter()
-    for base_dir, dim, _idx in _json.load(open(manifest)):
-        name = base_dir.split("-")[0]
-        d = os.path.join(ckpt_root, base_dir, "ckpt")
-        os.makedirs(d, exist_ok=True)
-        with jax.default_device(cpu):
-            _, variables, _ = create_model(
-                name, input_size=tuple(dim), nb_classes=1,
-                classifier_activation="sigmoid")
-        save_variables(os.path.join(d, "fold0.msgpack"), variables)
-        _json.dump({"nb_classes": 1, "classifier_activation": "sigmoid"},
-                   open(os.path.join(d, "config.json"), "w"))
+    subprocess.run(
+        [sys.executable, "-c", _MAKE_CKPTS_SRC.format(
+            repo=REPO, ckpt_root=ckpt_root, manifest=manifest)],
+        env=env, check=True,
+    )
     print(f"[e2e] 7 member ckpts generated in "
-          f"{time.perf_counter() - t0:.0f}s (untimed)", file=sys.stderr,
-          flush=True)
+          f"{time.perf_counter() - t0:.0f}s (untimed, cpu subprocess)",
+          file=sys.stderr, flush=True)
     return ckpt_root
 
 

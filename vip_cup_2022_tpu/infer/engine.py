@@ -499,7 +499,8 @@ class EnsembleEngine:
                 with open(cfg_json) as fh:
                     overrides = json.load(fh)
                 overrides.pop("input_size", None)
-        module, variables, cfg = self._create_member(name, dim, overrides)
+        module, variables, cfg = self._create_member(
+            name, dim, overrides, lazy=bool(ckpt_paths))
         fwd = self._build_forward(module, dim, tta, agg=agg)
         imgs = self._decode_all(paths)
         n = len(imgs)
@@ -554,7 +555,8 @@ class EnsembleEngine:
                     with open(cfg_json) as fh:
                         overrides = json.load(fh)
                     overrides.pop("input_size", None)
-            module, variables, _ = self._create_member(name, dim, overrides)
+            module, variables, _ = self._create_member(
+                name, dim, overrides, lazy=bool(ckpt_paths))
             fuse_bn = self._fuse_bn_member(name)
             fold_vars = []
             for ckpt in sorted(ckpt_paths):

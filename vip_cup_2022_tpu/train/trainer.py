@@ -304,9 +304,16 @@ class Trainer:
                 self._last_preserved_ts = ts
                 self._preserved_ckpts.append(old)  # spared from deletion
                 continue
-            if os.path.exists(old):
-                os.remove(old)
+            self._remove_ckpt(old)
         return path
+
+    @staticmethod
+    def _remove_ckpt(path: str):
+        """Delete a checkpoint AND its .md5 sidecar (save_variables writes
+        both; pruning only the payload would strand orphan sidecars)."""
+        for p in (path, path + ".md5"):
+            if os.path.exists(p):
+                os.remove(p)
 
     def maybe_save_best(self, monitor_value: float, epoch: int):
         better = (
@@ -318,8 +325,8 @@ class Trainer:
             return None
         self._best = monitor_value
         path = self._save(f"epoch{epoch}_{self.cfg.monitor}{monitor_value:.4f}")
-        if self._best_path and os.path.exists(self._best_path):
-            os.remove(self._best_path)  # prune previous best (callbacks.py:199-241)
+        if self._best_path:
+            self._remove_ckpt(self._best_path)  # prune previous best (callbacks.py:199-241)
         self._best_path = path
         return path
 
